@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (interleaved-docs spans →
+coordinate extraction → fitted-affine decode → tile encode →
+broadcast spatial join → per-region counts) at sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator with
+its DuckDB twin (see transformio_spark/plans/{queries,oracles}.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transformio_spark.plans import oracles  # noqa: E402
+from transformio_spark.plans import queries as q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full docs→extract→
+    transform→tile→spatial-join pipeline, per-region point counts."""
+    return q.q_region_join_bcast(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_counts": q.q_tile_counts,
+        "region_join_bcast": q.q_region_join_bcast,
+        "region_join_salted": q.q_region_join_salted,
+        "pip_triangle": q.q_pip_triangle,
+        "knn_city_assign": q.q_knn_city_assign,
+        "hotspot_share": q.q_hotspot_share,
+        "affine_fit": q.q_affine_fit,
+        "span_pair_distance": q.q_span_pair_distance,
+        "quality_by_lang": q.q_quality_by_lang,
+        "dedup_exact": q.q_dedup_exact,
+        "minhash_pairs": q.q_minhash_pairs,
+        "media_features": q.q_media_features,
+        "embedding_knn_l2": q.q_embedding_knn_l2,
+        "embedding_ann_lsh": q.q_embedding_ann_lsh,
+        "pricing_summary": q.q_pricing_summary,
+        "events_by_type": q.q_events_by_type,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_counts": oracles.tile_counts(),
+        "region_join_bcast": oracles.region_join_counts(),
+        "region_join_salted": oracles.region_join_counts(),
+        "pip_triangle": oracles.pip_triangle_counts(),
+        "knn_city_assign": oracles.knn_counts(),
+        "hotspot_share": oracles.hotspot_share(),
+        "affine_fit": oracles.affine_fit(),
+        "span_pair_distance": oracles.span_pair_distance(),
+        "quality_by_lang": oracles.quality_by_lang(),
+        "dedup_exact": oracles.dedup_exact(),
+        "embedding_knn_l2": oracles.embedding_knn_l2(),
+        "pricing_summary": oracles.pricing_summary(),
+        "events_by_type": oracles.events_by_type(),
+    }

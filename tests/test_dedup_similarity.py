@@ -1,0 +1,165 @@
+"""Training-data operator tests: dedup (exact / MinHash-LSH /
+SimHash), ANN similarity (brute force + LSH recall), multimodal
+feature plumbing.  Oracles are numpy/driver-side recomputations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transformio_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs: 20 bases x 3 variants (exact dup, near dup, distinct).
+    Bases are ~1.2 kB so shingle-set edits are small relative to the
+    doc (realistic near-dup regime for minhash/simhash)."""
+    base = [
+        " ".join(f"w{i}tok{j}v{(i * j) % 17}" for j in range(140))
+        for i in range(20)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((f"d{i:03d}a", t))
+        rows.append((f"d{i:03d}b", t))  # exact duplicate
+        # near dup: ~30 chars changed out of ~1200
+        rows.append((f"d{i:03d}c", "CHANGED HEADER XY " + t[18:]))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = dedup.exact_dedup(corpus).collect()
+    sizes = sorted(g.group_size for g in groups)
+    # 20 pairs (a+b) + 20 singletons (c)
+    assert sizes == [1] * 20 + [2] * 20
+    for g in groups:
+        assert g.keeper == min(g.members)
+
+
+def test_minhash_lsh_finds_planted_near_dups(corpus):
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    # every exact pair must be found (jaccard 1.0)
+    for i in range(20):
+        assert (f"d{i:03d}a", f"d{i:03d}b") in found
+    # near-dup a↔c pairs have high jaccard; LSH should find most
+    near = sum((f"d{i:03d}a", f"d{i:03d}c") in found for i in range(20))
+    assert near >= 15
+    # verified jaccard values are correct (exact pairs → 1e6)
+    for p in pairs:
+        if p.id_a[:4] == p.id_b[:4] and p.id_b.endswith("b"):
+            assert p.jaccard_e6 == 1_000_000
+
+
+def test_minhash_no_false_verified_pairs(corpus):
+    """Verification re-ranks candidates with TRUE jaccard — any
+    emitted pair must satisfy the threshold when recomputed in numpy."""
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+
+    def shingles(t, k=8):
+        return {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    for p in pairs:
+        a, b = shingles(texts[p.id_a]), shingles(texts[p.id_b])
+        true_j = len(a & b) / len(a | b)
+        assert true_j >= 0.5
+        assert abs(true_j * 1e6 - p.jaccard_e6) < 2
+
+
+def test_simhash_dup_invariance(corpus):
+    out = {r.id: r.simhash for r in dedup.simhash_buckets(corpus).collect()}
+    near, unrelated = [], []
+    for i in range(20):
+        a, b, c = out[f"d{i:03d}a"], out[f"d{i:03d}b"], out[f"d{i:03d}c"]
+        assert a == b  # identical text → identical simhash
+        near.append(bin(a ^ c).count("1"))
+        other = out[f"d{(i + 7) % 20:03d}a"]
+        unrelated.append(bin(a ^ other).count("1"))
+    # short-shingle simhash is noisy per-pair; the signal is the
+    # DISTRIBUTION: near-dups must be clearly closer than unrelated
+    assert float(np.mean(near)) < float(np.mean(unrelated)) - 5
+    assert float(np.mean(unrelated)) > 20  # unrelated ≈ random (32)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.with_unit_vec(df).cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings, sf_dir):
+    queries = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    got = similarity.brute_force_topk(
+        embeddings.where(F.col("vec_id") >= 5), queries, k=3
+    ).collect()
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    units = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+    for qid in range(5):
+        sims = sorted(
+            ((units[qid] @ u, -i) for i, u in units.items() if i >= 5),
+            reverse=True,
+        )[:3]
+        expected = [-s[1] for s in sims]
+        mine = [r.nb_id for r in got if r.query_id == qid]
+        assert mine == expected
+
+
+def test_lsh_topk_recall(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 20)
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.lsh_topk(corpus, queries, k=5, n_planes=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.nb_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.nb_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert float(np.mean(recalls)) >= 0.5  # 8 tables x 4 planes
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    from transformio_spark.sources import synth
+
+    docs = synth.docs_spans(spark, sf_dir).limit(60)
+    media = multimodal.synth_media(spark, docs)
+    feats = multimodal.extract_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(r.ok for r in rows)
+    assert all(len(r.feature) == 16 for r in rows)
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    img = next(r for r in rows if r.kind == "image")
+    assert len(img.decoded_shape) == 3 and img.decoded_shape[2] == 3
+    # determinism: rerun → identical features
+    rows2 = multimodal.extract_features(media, feature_dim=16).collect()
+    f1 = {r.media_id: r.feature for r in rows}
+    f2 = {r.media_id: r.feature for r in rows2}
+    assert f1 == f2
+
+
+def test_multimodal_unknown_kind_errors_per_row(spark):
+    media = spark.createDataFrame(
+        [("m1", "hologram", bytearray(b"xx"), (1, 1, 1, 1))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(media).collect()
+    assert len(rows) == 1 and not rows[0].ok
+    assert "no decoder" in rows[0].err

@@ -1,0 +1,79 @@
+"""Tier-3: lineage checkpointing + kill-and-resume (FIXTURES.md §6).
+
+Run the tile sweep, crash after K of M units, rerun with the same
+run_id: completed units must be skipped and the final output must
+equal an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transformio_spark.functions import tiles
+from transformio_spark.operators import extract
+from transformio_spark.plans.pipeline import TileSweepPipeline
+from transformio_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def tiled_points(spark, sf_dir):
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pts = extract.extract_coordinates(docs, affine_a)
+    return pts.withColumn(
+        "tile_id", tiles.tile_id(F.col("lon"), F.col("lat"), 4)
+    ).cache()
+
+
+def _transform(df):
+    return df.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _collect(spark, pipe, table):
+    return sorted(
+        (r.tile_id, r.n) for r in pipe.catalog.read(spark, table).collect()
+    )
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, tiled_points, tmp_path):
+    units = TileSweepPipeline.tile_ranges(zoom=4, n_units=8)
+
+    # uninterrupted reference run
+    ref = TileSweepPipeline(spark, str(tmp_path / "ref"), run_id="r0")
+    t_ref = ref.run_stage("tilecount", tiled_points, "tile_id", units, _transform)
+    expected = _collect(spark, ref, t_ref)
+
+    # crash after 3 units
+    pipe = TileSweepPipeline(spark, str(tmp_path / "rt"), run_id="r1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run_stage(
+            "tilecount", tiled_points, "tile_id", units, _transform, fail_after=3
+        )
+    done_after_crash = pipe.lineage.completed_units(spark, "r1", "tilecount")
+    assert len(done_after_crash) == 3
+
+    # resume with the same run_id — must skip the 3 completed units
+    pipe2 = TileSweepPipeline(spark, str(tmp_path / "rt"), run_id="r1")
+    t_out = pipe2.run_stage(
+        "tilecount", tiled_points, "tile_id", units, _transform
+    )
+    assert _collect(spark, pipe2, t_out) == expected
+
+    # lineage is complete and carries metrics
+    lin = pipe2.lineage.read(spark)
+    rows = lin.where(
+        (F.col("run_id") == "r1") & (F.col("status") == "done")
+    ).collect()
+    assert len(rows) == len(units)
+    assert all(r.wall_ms >= 0 and r.output_rows >= 0 for r in rows)
+
+
+def test_rerun_is_idempotent_noop(spark, tiled_points, tmp_path):
+    units = TileSweepPipeline.tile_ranges(zoom=4, n_units=4)
+    pipe = TileSweepPipeline(spark, str(tmp_path / "rr"), run_id="r2")
+    t1 = pipe.run_stage("s", tiled_points, "tile_id", units, _transform)
+    snaps_before = len(pipe.catalog.snapshots(t1))
+    # second run: all units complete → no new snapshots
+    pipe.run_stage("s", tiled_points, "tile_id", units, _transform)
+    assert len(pipe.catalog.snapshots(t1)) == snaps_before

@@ -1,0 +1,143 @@
+"""Spark-layer operator tests: pandas-UDF kernel parity, vector
+long-table pipeline vs the reference's dict semantics, span-sequence
+invariance, salted==unsalted join equality."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_almost_equal
+
+from ref_loader import load_reference_modules
+from transformio_spark import kernels as k
+from transformio_spark.fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+from transformio_spark.operators import udfs, vector_geom
+from transformio_spark.sources import synth
+
+ref_transforms, ref_accuracy, ref_vector = load_reference_modules()
+
+
+@pytest.fixture(scope="module")
+def poly2_json():
+    imx, imy = zip(*CHINA22_IMPOINTS)
+    gx, gy = zip(*CHINA22_GEOPOINTS)
+    return json.dumps(k.Polynomial(order=2).fit(imx, imy, gx, gy).to_json())
+
+
+@pytest.fixture(scope="module")
+def tin_json():
+    imx, imy = zip(*CHINA22_IMPOINTS)
+    gx, gy = zip(*CHINA22_GEOPOINTS)
+    return json.dumps(k.TIN().fit(imx, imy, gx, gy).to_json())
+
+
+def test_pandas_udf_matches_kernel(spark, poly2_json):
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(0, 1100, 2000)
+    ys = rng.uniform(0, 1000, 2000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    out = udfs.with_transformed(df, poly2_json, x="x", y="y").orderBy("x").collect()
+    model = k.from_json(json.loads(poly2_json))
+    order = np.argsort(xs)
+    px, py = model.predict(xs[order], ys[order])
+    assert_array_almost_equal([r.pred_x for r in out], px, decimal=10)
+    assert_array_almost_equal([r.pred_y for r in out], py, decimal=10)
+
+
+def test_pandas_udf_tin_nan_outside_hull(spark, tin_json):
+    df = spark.createDataFrame(
+        [(500.0, 500.0), (99999.0, 99999.0)], "x double, y double"
+    )
+    rows = (
+        udfs.with_transformed(df, tin_json, x="x", y="y").orderBy("x").collect()
+    )
+    assert rows[0].pred_x is not None and not np.isnan(rows[0].pred_x)
+    # outside the TIN hull → NaN sentinel (reference transforms.py:701-702)
+    assert rows[1].pred_x is None or np.isnan(rows[1].pred_x)
+
+
+def test_vector_kernel_parity_vs_reference():
+    trans = k.Affine(offset=(10, 20))
+    rtrans = ref_transforms.Affine(offset=(10, 20))
+    geoj = {
+        "type": "Feature",
+        "properties": {"name": "t"},
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                 [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]],
+                [[[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]]],
+            ],
+        },
+    }
+    ours = k.vector.transform(geoj, trans)
+    ref = ref_vector.transform(geoj, rtrans)
+    assert json.dumps(ours, default=float) == json.dumps(ref, default=float)
+    assert list(k.vector.iter_points(geoj)) == list(ref_vector.iter_points(geoj))
+    assert k.vector.get_bbox(geoj) == ref_vector.get_bbox(geoj)
+
+
+def test_vector_long_table_matches_kernel(spark, tin_json):
+    """The Spark explode→kernel→filter→renest pipeline must reproduce
+    the reference's dict-level transform incl. NaN point drops."""
+    imx, imy = zip(*CHINA22_IMPOINTS)
+    ring = list(zip(imx, imy)) + [(99999.0, 99999.0), (imx[0], imy[0])]
+    geom = {"type": "Polygon", "coordinates": [ring]}
+    model = k.from_json(json.loads(tin_json))
+    expected = k.vector.transform(geom, model)
+
+    long_df = vector_geom.geojson_to_long(spark, [("g1", geom)])
+    out = vector_geom.transform_long(long_df, tin_json)
+    nested = vector_geom.renest(out).collect()
+    assert len(nested) == 1
+    got_ring = [(p.x, p.y) for p in nested[0].parts[0][0]]
+    exp_ring = [(float(x), float(y)) for x, y in expected["coordinates"][0]]
+    assert len(got_ring) == len(exp_ring)
+    assert_array_almost_equal(np.array(got_ring), np.array(exp_ring), decimal=8)
+
+
+def test_span_sequence_invariance(spark, sf_dir):
+    """input_hint invariant: the pipeline never alters the per-doc
+    span sequence (kind, text, media_ref, order)."""
+    from transformio_spark.operators import extract
+
+    docs = synth.docs_spans(spark, sf_dir)
+    before = {r.doc_id: [tuple(s) for s in r.spans] for r in docs.limit(200).collect()}
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pts = extract.extract_coordinates(docs, affine_a)
+    enriched = docs.join(
+        pts.groupBy("doc_id").count().withColumnRenamed("count", "n_points"),
+        "doc_id",
+    )
+    after = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in enriched.where(enriched.doc_id.isin(list(before))).collect()
+    }
+    assert set(before) == set(after)
+    for d in before:
+        assert before[d] == after[d], f"span sequence changed for {d}"
+
+
+def test_salted_equals_unsalted(spark, sf_dir):
+    from transformio_spark.operators import extract, spatial_join
+
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pts = extract.extract_coordinates(docs, affine_a)
+    boxes = synth.region_boxes(spark, sf_dir)
+    a = (
+        spatial_join.broadcast_contains_join(pts, boxes)
+        .groupBy("region_id").count().collect()
+    )
+    b = (
+        spatial_join.tiled_contains_join(pts, boxes, zoom=4, n_salt=8)
+        .groupBy("region_id").count().collect()
+    )
+    assert sorted((r.region_id, r["count"]) for r in a) == sorted(
+        (r.region_id, r["count"]) for r in b
+    )

@@ -1,0 +1,91 @@
+"""Geometric Column-expression kernels (JVM side, whole-stage codegen).
+
+The reference's transform kernels are whole-array numpy functions
+(reference transforms.py:341-385, accuracy.py:9-41); on Spark the
+*preferred* physical form for polynomial transforms and haversine is a
+pure Column expression — Catalyst folds it into WholeStageCodegen with
+zero Python crossings.  The pandas-UDF twins (operators/udfs.py) exist
+for the models that genuinely need numpy (TIN loops, pyproj) and for
+parity testing; both paths call identical math.
+
+Each builder has a ``*_sql`` twin emitting the same arithmetic as SQL
+text — used to build the DuckDB oracle queries so the correctness gate
+compares semantically identical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# PARITY: R=6367 km, reference accuracy.py:35
+EARTH_RADIUS_KM = 6367.0
+
+
+def affine_predict(A, x: Column, y: Column) -> tuple[Column, Column]:
+    """Forward affine as Column arithmetic: the first two rows of the
+    3x3 matrix A (reference transforms.py:492-509 semantics)."""
+    px = F.lit(float(A[0][0])) * x + F.lit(float(A[0][1])) * y + F.lit(float(A[0][2]))
+    py = F.lit(float(A[1][0])) * x + F.lit(float(A[1][1])) * y + F.lit(float(A[1][2]))
+    return px, py
+
+
+def _poly_terms_cols(order: int, x: Column, y: Column) -> list[Column]:
+    one = F.lit(1.0)
+    if order == 1:
+        return [x, y, one]
+    xx, xy, yy = x * x, x * y, y * y
+    if order == 2:
+        return [xx, xy, yy, x, y, one]
+    if order == 3:
+        return [xx * x, xx * y, x * yy, yy * y, xx, xy, yy, x, y, one]
+    raise ValueError(order)
+
+
+def polynomial_predict(A, order: int, x: Column, y: Column) -> tuple[Column, Column]:
+    """Order 1/2/3 polynomial transform as Column arithmetic; term
+    order matches reference transforms.py:341-385."""
+    terms = _poly_terms_cols(order, x, y)
+    px = None
+    py = None
+    for coef_x, coef_y, t in zip(A[0], A[1], terms):
+        cx = F.lit(float(coef_x)) * t
+        cy = F.lit(float(coef_y)) * t
+        px = cx if px is None else px + cx
+        py = cy if py is None else py + cy
+    return px, py
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance, identical formulation to the reference
+    (accuracy.py:22-36): arcsin form, R=6367 km."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    a = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
+
+
+# ---------------------------------------------------------------------------
+# SQL text twins (for the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def affine_predict_sql(A, x: str, y: str) -> tuple[str, str]:
+    px = f"({A[0][0]!r} * {x} + {A[0][1]!r} * {y} + {A[0][2]!r})"
+    py = f"({A[1][0]!r} * {x} + {A[1][1]!r} * {y} + {A[1][2]!r})"
+    return px, py
+
+
+def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (
+        f"(2.0 * {EARTH_RADIUS_KM!r}e0 * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
+        f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis Column kernels for training-data pipelines.
+
+All JVM-side Column expressions (no Python in the hot path): token
+counting, quality scoring, language-id heuristic, and a deterministic
+document fingerprint.  Each has a SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (single-space separated corpora)."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.size(F.split(text, " "))
+    ).cast("long")
+
+
+def stopword_count(text: Column) -> Column:
+    toks = F.split(text, " ")
+    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric or space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(text).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Toy quality heuristic: mean word length x (1 - stopword share),
+    bounded — enough structure to exercise the plan, SQL-expressible."""
+    toks = token_count(text)
+    stops = stopword_count(text)
+    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.length(text).cast("double") / toks.cast("double")
+    )
+    stop_share = F.when(toks == 0, F.lit(0.0)).otherwise(
+        stops.cast("double") / toks.cast("double")
+    )
+    return mean_word * (F.lit(1.0) - stop_share)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized
+    text) — exact-dedup key; identical function exists in DuckDB."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+# ---------------------------------------------------------------------------
+# SQL twins
+# ---------------------------------------------------------------------------
+
+def token_count_sql(text: str) -> str:
+    return (
+        f"(case when length({text}) = 0 then 0 "
+        f"else cast(len(string_split({text}, ' ')) as bigint) end)"
+    )
+
+
+def stopword_count_sql(text: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"cast(len(list_filter(string_split({text}, ' '), "
+        f"t -> t in ({quoted}))) as bigint)"
+    )
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"(case when length({text}) = 0 then 0.0 "
+        f"else cast(length(regexp_replace({text}, '[A-Za-z0-9 ]', '', 'g')) as double) "
+        f"/ length({text}) end)"
+    )
+
+
+def quality_score_sql(text: str) -> str:
+    toks = token_count_sql(text)
+    stops = stopword_count_sql(text)
+    return (
+        f"((case when {toks} = 0 then 0.0 else cast(length({text}) as double) / {toks} end) "
+        f"* (1.0 - (case when {toks} = 0 then 0.0 else cast({stops} as double) / {toks} end)))"
+    )
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5(lower(trim({text})))"

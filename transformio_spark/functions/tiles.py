@@ -1,0 +1,111 @@
+"""Hierarchical spatial cell encoding (H3/S2-style, engine-native).
+
+No H3/S2 native library ships in this environment, so the engine
+carries its own hierarchical cell scheme with the same role
+(BASELINE.json:north_star "H3/S2 cell encoding"): an equirectangular
+quadtree over the working domain lon∈[-180,180), lat∈[-85,85), with
+Z-order (Morton) cell ids so that — like H3/S2 — numerically close
+cell ids are spatially close, which makes ``repartitionByRange`` on
+cell id a spatial-locality partitioner.  The encoder is a pluggable
+seam: an H3 backend can be dropped in where available; everything
+downstream only sees ``cell_id: long``.
+
+Numeric-safety contract (cross-engine exactness): coordinates are
+snapped to the 1e-4-degree payload lattice → scaled to exact integers
+→ tiled with integer-exact arithmetic, so the same formula evaluated
+by Spark/JVM and DuckDB can never disagree on a tile at any zoom ≤ 16
+(see sources/synthspec.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LON_SPAN_E4 = 3_600_000  # 360 deg on the 1e-4 lattice
+LAT_SPAN_E4 = 1_700_000  # 170 deg (domain [-85, 85))
+
+
+def lon_e4(lon: Column) -> Column:
+    """Snap a longitude to the exact integer 1e-4 lattice."""
+    return F.round(lon * 10000e0, 0).cast("long")
+
+
+def lat_e4(lat: Column) -> Column:
+    return F.round(lat * 10000e0, 0).cast("long")
+
+
+def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Equirectangular quadtree tile coordinates at ``zoom``
+    (2^zoom x 2^zoom grid over the domain).  Integer-exact: the
+    product (e4 + offset) * 2^zoom stays below 2^53, and IEEE division
+    by the exact span is correctly rounded, so floor() is stable."""
+    n = 1 << zoom
+    tx = F.floor((lon_e4(lon) + 1_800_000) * n / float(LON_SPAN_E4))
+    ty = F.floor((lat_e4(lat) + 850_000) * n / float(LAT_SPAN_E4))
+    return tx, ty
+
+
+def tile_id(lon: Column, lat: Column, zoom: int) -> Column:
+    """Row-major tile id: ty * 2^zoom + tx."""
+    tx, ty = tile_xy(lon, lat, zoom)
+    return (ty * (1 << zoom) + tx).cast("long")
+
+
+def _interleave(c: Column, bits: int) -> Column:
+    """Spread the low ``bits`` bits of c so bit i lands at position 2i
+    (classic Morton magic-mask spread, as Column bit arithmetic)."""
+    masks = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    out = c
+    for shift, mask in masks:
+        if shift * 2 >= 2 * bits and shift >= bits:
+            continue
+        out = (out | F.shiftleft(out, shift)).bitwiseAND(F.lit(mask))
+    return out
+
+
+def cell_id(lon: Column, lat: Column, zoom: int) -> Column:
+    """Hierarchical Morton cell id with the zoom packed in the high
+    bits: (zoom << 58) | interleave(tx, ty).  Parent/child relations
+    are bit-shifts, like H3/S2 resolutions."""
+    tx, ty = tile_xy(lon, lat, zoom)
+    morton = _interleave(tx, zoom) | F.shiftleft(_interleave(ty, zoom), 1)
+    return (F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long") + morton).cast("long")
+
+
+def cell_parent(cell: Column, zoom: int, parent_zoom: int) -> Column:
+    """Re-key a cell to a coarser resolution (pure bit arithmetic)."""
+    drop = 2 * (zoom - parent_zoom)
+    morton = cell - F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+    return (
+        F.lit(parent_zoom).cast("long") * F.lit(1 << 58).cast("long")
+        + F.shiftright(morton, drop)
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SQL text twins (DuckDB oracle) — same integer-exact formulas
+# ---------------------------------------------------------------------------
+
+def tile_xy_sql(lon: str, lat: str, zoom: int) -> tuple[str, str]:
+    n = 1 << zoom
+    tx = (
+        f"floor((cast(round(({lon}) * 10000e0, 0) as bigint) + 1800000) "
+        f"* {n} / {float(LON_SPAN_E4)!r}e0)"
+    )
+    ty = (
+        f"floor((cast(round(({lat}) * 10000e0, 0) as bigint) + 850000) "
+        f"* {n} / {float(LAT_SPAN_E4)!r}e0)"
+    )
+    return tx, ty
+
+
+def tile_id_sql(lon: str, lat: str, zoom: int) -> str:
+    tx, ty = tile_xy_sql(lon, lat, zoom)
+    return f"cast(({ty}) * {1 << zoom} + ({tx}) as bigint)"

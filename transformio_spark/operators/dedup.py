@@ -1,0 +1,178 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path computation is JVM-side Column expressions (shingling via
+sequence/substring, hashing via xxhash64, signatures via higher-order
+array functions) — zero Python per row.  Scale design: exact dedup is
+one hash-groupBy; MinHash-LSH shuffles (band_idx, band_hash) keys so
+only same-bucket candidates are ever paired (the classic
+shingle→minhash→band→bucket-join plan); verification re-computes true
+Jaccard only for candidates.
+
+At 10^12 rows the candidate self-join is the skew risk (a hot bucket
+= boilerplate text); ``n_salt``-style splitting applies as in
+spatial_join, and AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via md5 fingerprint group-by: one row per group
+    with the keeper (min id) and the redundant ids."""
+    fp = docs.select(
+        F.col(id_col).alias("id"), T.fingerprint(F.col(text_col)).alias("fp")
+    )
+    return fp.groupBy("fp").agg(
+        F.min("id").alias("keeper"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.sort_array(F.collect_list("id")).alias("members"),
+    )
+
+
+def char_shingles(text_col, k: int = 8):
+    """Distinct k-char shingles as an array column (JVM-side)."""
+    n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: text_col.substr(i, F.lit(k))
+        )
+    )
+
+
+def _seeded_hasher(seed: int):
+    # NOTE: must be a real closure with arity 1 — a lambda with a
+    # default arg (lambda s, i=seed: ...) is seen as arity 2 by the
+    # higher-order-function binder and would receive the array INDEX
+    # as the second argument, silently replacing the seed.
+    def h(s):
+        return F.xxhash64(F.lit(seed), s)
+
+    return h
+
+
+def minhash_signature(shingles, n_hashes: int = 32):
+    """MinHash signature: per seed, min over shingle xxhash64s."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hasher(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def simhash_votes(shingles):
+    """Per-bit ±1 vote sums over all shingles (array of 64 longs) —
+    one aggregate pass; bit shifts are literal ints (shiftright does
+    not accept Column shift amounts)."""
+
+    def per_shingle_bits(s):
+        h = F.xxhash64(s)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(64)
+            ]
+        )
+
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(acc, per_shingle_bits(s), lambda a, b: a + b),
+    )
+
+
+def simhash_from_votes(votes_col):
+    """Fold the 64 vote counts into the 64-bit fingerprint."""
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(
+            F.element_at(votes_col, i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def jaccard(a, b):
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → minhash → LSH bands → bucket
+    self-join → exact-Jaccard verify.  Returns (id_a, id_b,
+    jaccard_e6) with id_a < id_b and jaccard >= threshold."""
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.withColumn("j", jac)
+        .where(F.col("j") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("j") * 1e6, 0).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """SimHash fingerprints + 16-bit prefix buckets (near-dup candidate
+    generation by Hamming-adjacent prefix)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("sh")
+    )
+    out = sh.withColumn("votes", simhash_votes(F.col("sh"))).withColumn(
+        "simhash", simhash_from_votes(F.col("votes"))
+    )
+    return out.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("long")
+    ).select("id", "simhash", "bucket")

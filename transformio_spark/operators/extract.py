@@ -1,0 +1,122 @@
+"""N1 — span coordinate extraction (SURVEY.md §2.6).
+
+Pulls coordinate payloads out of media-span ``media_ref`` URIs with
+higher-order array functions + regexp — fully JVM-side, no per-row
+Python (mandated by BASELINE.json:input_hint).  ``spans`` itself is
+never rewritten, only read — the per-doc span sequence is carried
+through untouched (the input_hint invariant).
+
+px-payload coordinates are mapped to geo space through a FITTED
+transform (the 3x3 affine estimated from the GCP table by the numpy
+kernel — reference transforms.py:458-485 math) applied as a Column
+expression, then snapped to the 1e-4 payload lattice (media_ref
+precision defines coordinate precision; see synthspec docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..kernels import Affine
+
+_NUM = r"(-?[0-9]+\.?[0-9]*)"
+
+
+def media_points(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Explode media spans into (doc_id, doc_num, span_pos, ref_kind,
+    raw_x, raw_y [, *carry]).  span_pos is the media-span ordinal
+    within the doc; ``carry`` columns (e.g. event_ts for streaming)
+    pass through so no downstream self-join is ever needed."""
+    media = docs.select(
+        "doc_id",
+        "doc_num",
+        *carry,
+        F.posexplode(
+            F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+        ).alias("span_pos", "span"),
+    )
+    ref = F.col("span.media_ref")
+    return media.select(
+        "doc_id",
+        "doc_num",
+        *carry,
+        "span_pos",
+        F.regexp_extract(ref, r"^(geo|px):", 1).alias("ref_kind"),
+        F.regexp_extract(ref, rf"^[a-z]+:{_NUM},", 1).cast("double").alias("raw_x"),
+        F.regexp_extract(ref, rf",{_NUM}$", 1).cast("double").alias("raw_y"),
+    )
+
+
+def fit_px2geo_affine(gcps_df: DataFrame) -> np.ndarray:
+    """Estimate the px→geo affine from the (tiny) GCP table on the
+    driver with the parity kernel (identical lstsq to the reference,
+    transforms.py:476-477); the 3x3 result is broadcast into Column
+    expressions — the trillion-row side is never shuffled for fitting."""
+    rows = gcps_df.select("src_x", "src_y", "dst_x", "dst_y").collect()
+    sx = [r.src_x for r in rows]
+    sy = [r.src_y for r in rows]
+    dx = [r.dst_x for r in rows]
+    dy = [r.dst_y for r in rows]
+    return Affine().fit(sx, sy, dx, dy).A
+
+
+def span_pair_points(docs: DataFrame, affine_A: np.ndarray) -> DataFrame:
+    """Per-doc (primary, secondary) media coordinates in ONE row-local
+    pass — no self-join, so duplicate doc keys in the source table
+    cannot multiply pairs.  Docs without a secondary media span are
+    filtered out.  Primary px payloads go through the fitted affine +
+    lattice snap like extract_coordinates."""
+    media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    ref0 = F.element_at(media, 1)["media_ref"]
+    ref1 = F.element_at(media, 2)["media_ref"]
+    kind0 = F.regexp_extract(ref0, r"^(geo|px):", 1)
+    raw_x0 = F.regexp_extract(ref0, rf"^[a-z]+:{_NUM},", 1).cast("double")
+    raw_y0 = F.regexp_extract(ref0, rf",{_NUM}$", 1).cast("double")
+    # fitted affine applied to px primaries (same as extract_coordinates)
+    alon, alat = geo.affine_predict(affine_A.tolist(), raw_x0, raw_y0)
+    lon0 = F.when(kind0 == "px", F.round(alon, 4)).otherwise(raw_x0)
+    lat0 = F.when(kind0 == "px", F.round(alat, 4)).otherwise(raw_y0)
+    lon1 = F.regexp_extract(ref1, rf"^[a-z]+:{_NUM},", 1).cast("double")
+    lat1 = F.regexp_extract(ref1, rf",{_NUM}$", 1).cast("double")
+    return (
+        docs.where(F.size(media) >= 2)
+        .select(
+            "doc_id",
+            "doc_num",
+            lon0.alias("lon0"),
+            lat0.alias("lat0"),
+            lon1.alias("lon1"),
+            lat1.alias("lat1"),
+        )
+    )
+
+
+def extract_coordinates(
+    docs: DataFrame, affine_A: np.ndarray, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The full N1 stage: media spans → (doc_id, span_pos, lon, lat).
+
+    geo payloads pass through; px payloads go through the fitted
+    affine and are snapped to the payload lattice (4 decimals)."""
+    pts = media_points(docs, carry)
+    px_lon, px_lat = geo.affine_predict(
+        affine_A.tolist(), F.col("raw_x"), F.col("raw_y")
+    )
+    lon = F.when(F.col("ref_kind") == "px", F.round(px_lon, 4)).otherwise(
+        F.col("raw_x")
+    )
+    lat = F.when(F.col("ref_kind") == "px", F.round(px_lat, 4)).otherwise(
+        F.col("raw_y")
+    )
+    return pts.select(
+        "doc_id",
+        "doc_num",
+        *carry,
+        "span_pos",
+        "ref_kind",
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )

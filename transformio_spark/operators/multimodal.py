@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns plus typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` kernels.  The actual codec step is
+STUBBED in this environment (no PIL/av libs — clearly marked below);
+everything Spark-side is real and tested: schemas, batch iteration,
+partition-size control, and the deterministic fake featureizer that
+stands in for a decoder so downstream plumbing (dedup on features,
+ANN on media embeddings) can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, ok boolean, err string, "
+    "feature array<float>, decoded_shape array<int>"
+)
+
+
+def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table derived from doc ids: payload =
+    repeated md5 bytes, metadata from arithmetic.  Stands in for real
+    blob storage resolution of span media_refs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_num") % 3 == 0, "image")
+        .when(F.col("doc_num") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.repeat(F.unhex(F.md5(F.col("doc_id"))), payload_bytes // 16)
+        .cast("binary")
+        .alias("payload"),
+        F.struct(
+            (F.col("doc_num") % 640 + 64).cast("int").alias("width"),
+            (F.col("doc_num") % 480 + 48).cast("int").alias("height"),
+            (F.col("doc_num") % 30 + 1).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(kind: str, payload: bytes, meta) -> np.ndarray:
+    """STUB — real implementation would be PIL.Image.open /
+    torchaudio.load / av.open; none of those libraries exist in this
+    container.  Raises for unknown kinds exactly like a codec would;
+    for known kinds produces a DETERMINISTIC fake decode (seeded by
+    payload digest) with the right logical shape so downstream
+    operators see realistic data."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    digest = hashlib.md5(payload).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    if kind == "image":
+        return rng.integers(0, 256, (meta["height"], meta["width"], 3), dtype=np.uint8)
+    if kind == "audio":
+        return (rng.standard_normal(meta["sample_rate"]) * 0.1).astype(np.float32)
+    return rng.integers(
+        0, 256, (min(meta["n_frames"], 4), 32, 32, 3), dtype=np.uint8
+    )
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: decode (stubbed) → pooled
+    feature vector.  Batch shape, error channeling (per-row ok/err
+    instead of task failure) and schema are the real engine design."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "ok": [], "err": [],
+                "feature": [], "decoded_shape": [],
+            }
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                try:
+                    arr = _decode_stub(row["kind"], bytes(row["payload"]), row["meta"])
+                    flat = arr.astype(np.float64).ravel()
+                    pooled = np.resize(flat, (feature_dim, max(flat.size // feature_dim, 1))).mean(axis=1)
+                    out["ok"].append(True)
+                    out["err"].append("")
+                    out["feature"].append(pooled.astype(np.float32).tolist())
+                    out["decoded_shape"].append(list(arr.shape))
+                except NotImplementedError as e:
+                    out["ok"].append(False)
+                    out["err"].append(str(e))
+                    out["feature"].append(None)
+                    out["decoded_shape"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,227 @@
+"""Tiled raster warp (SURVEY.md §2.5 ops 28-30 at scale).
+
+A raster at 10^12-pixel scale is never one in-memory array — it is a
+DataFrame of fixed-size tiles (the reference itself sketches exactly
+this chunked design in commented-out code, imwarp.py:304-361).  The
+warp runs as:
+
+  phase 1 (distributed): per OUTPUT tile, backward-map its pixel grid
+      through chain.inverse() and emit the integer source-pixel bbox
+      it needs (NaN-safe min/max of the np.around'ed coords);
+  phase 2: interval-overlap join output-tile bboxes to source-tile
+      extents (both tiny relative to pixel data; the join is
+      broadcastable) — this is the reference's crop-to-relevant-input
+      optimization (imwarp.py:234-251) reborn as partition pruning;
+  phase 3 (distributed): group source tiles per output tile, mosaic
+      them, and gather with np.around nearest-neighbour semantics
+      identical to the full-image kernel (kernels/warp.py).
+
+Bit-parity contract (tested): assembling all output tiles equals the
+single-array kernels.warp() output exactly, because each output pixel
+center xs/ys is computed with the same fp expression
+(xoff + col * xscale) and the gather uses the same rounding and the
+same full-source bounds mask.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import from_json
+from ..kernels.warp import as_chain
+
+TILE_SCHEMA = (
+    "tile_x int, tile_y int, col0 int, row0 int, w int, h int, px binary"
+)
+
+_MODEL_CACHE: dict = {}
+
+
+def _chain(chain_json: str):
+    m = _MODEL_CACHE.get(chain_json)
+    if m is None:
+        m = from_json(json.loads(chain_json))
+        _MODEL_CACHE[chain_json] = m
+    return m
+
+
+def image_to_tiles(spark: SparkSession, im: np.ndarray, tile: int = 256) -> DataFrame:
+    """Split an (h, w, 4) uint8 array into a tile DataFrame."""
+    h, w = im.shape[:2]
+    rows = []
+    for ty, r0 in enumerate(range(0, h, tile)):
+        for tx, c0 in enumerate(range(0, w, tile)):
+            block = im[r0 : r0 + tile, c0 : c0 + tile]
+            rows.append(
+                (
+                    tx, ty, c0, r0,
+                    int(block.shape[1]), int(block.shape[0]),
+                    bytearray(np.ascontiguousarray(block).tobytes()),
+                )
+            )
+    return spark.createDataFrame(rows, TILE_SCHEMA)
+
+
+def _out_grid(w: int, h: int, tile: int) -> list[tuple[int, int, int, int, int, int]]:
+    grid = []
+    for ty, r0 in enumerate(range(0, h, tile)):
+        for tx, c0 in enumerate(range(0, w, tile)):
+            grid.append(
+                (tx, ty, c0, r0, min(tile, w - c0), min(tile, h - r0))
+            )
+    return grid
+
+
+def warp_tiled(
+    spark: SparkSession,
+    src_tiles: DataFrame,
+    src_size: tuple[int, int],
+    chain_json: str,
+    affine: list,
+    size: tuple[int, int],
+    out_tile: int = 256,
+    nbands: int = 4,
+) -> tuple[DataFrame, list]:
+    """Distributed backward-mapping warp.  Returns (out_tiles_df,
+    affine6).  ``affine``/``size`` are the EXACT output geometry (use
+    kernels.warp's bounds/size logic on the driver to derive them —
+    passing the exact affine rather than re-deriving scales from
+    bounds keeps output pixel centers bit-identical to the
+    single-array kernel, so np.around can never flip)."""
+    imw, imh = src_size
+    w, h = size
+    xscale, _, xoff, _, yscale, yoff = affine
+
+    grid = _out_grid(w, h, out_tile)
+    grid_df = spark.createDataFrame(
+        grid, "otx int, oty int, ocol0 int, orow0 int, ow int, oh int"
+    )
+
+    def backpred_for(pdf_row):
+        cols = np.arange(pdf_row.ocol0, pdf_row.ocol0 + pdf_row.ow, dtype=np.float64)
+        rows_ = np.arange(pdf_row.orow0, pdf_row.orow0 + pdf_row.oh, dtype=np.float64)
+        cc, rr = np.meshgrid(cols, rows_)
+        xs = xoff + (cc.flatten() * xscale)
+        ys = yoff + (rr.flatten() * yscale)
+        inv = _chain(chain_json).inverse()
+        bx, by = inv.predict(xs, ys)
+        return bx, by
+
+    # phase 1: per-output-tile integer source bbox
+    def bbox_iter(batches):
+        for pdf in batches:
+            out = {"otx": [], "oty": [], "cmin": [], "cmax": [], "rmin": [], "rmax": []}
+            for row in pdf.itertuples():
+                bx, by = backpred_for(row)
+                ok = ~(np.isnan(bx) | np.isnan(by))
+                out["otx"].append(row.otx)
+                out["oty"].append(row.oty)
+                if ok.any():
+                    ci = np.around(bx[ok], 0).astype(int)
+                    ri = np.around(by[ok], 0).astype(int)
+                    out["cmin"].append(int(ci.min()))
+                    out["cmax"].append(int(ci.max()))
+                    out["rmin"].append(int(ri.min()))
+                    out["rmax"].append(int(ri.max()))
+                else:
+                    out["cmin"].append(0)
+                    out["cmax"].append(-1)
+                    out["rmin"].append(0)
+                    out["rmax"].append(-1)
+            yield pd.DataFrame(out)
+
+    bboxes = grid_df.mapInPandas(
+        bbox_iter, "otx int, oty int, cmin int, cmax int, rmin int, rmax int"
+    )
+
+    # phase 2: interval-overlap join to source tiles (pruning join)
+    st = src_tiles.select(
+        "tile_x", "tile_y", "col0", "row0", "w", "h", "px"
+    )
+    cond = (
+        (st.col0 <= F.col("cmax"))
+        & (st.col0 + st.w - 1 >= F.col("cmin"))
+        & (st.row0 <= F.col("rmax"))
+        & (st.row0 + st.h - 1 >= F.col("rmin"))
+    )
+    matched = bboxes.join(st, on=cond, how="left")
+
+    # phase 3: mosaic + gather per output tile
+    meta = {g[0:2]: g for g in _out_grid(w, h, out_tile)}
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = key
+        _, _, ocol0, orow0, ow, oh = meta[(otx, oty)]
+        bx, by = backpred_for(
+            type("R", (), {"ocol0": ocol0, "orow0": orow0, "ow": ow, "oh": oh})
+        )
+        out = np.zeros((oh, ow, 4), dtype=np.uint8)
+        have_src = pdf["px"].notna().any()
+        if have_src:
+            cmin = int(pdf["cmin"].iloc[0])
+            cmax = int(pdf["cmax"].iloc[0])
+            rmin = int(pdf["rmin"].iloc[0])
+            rmax = int(pdf["rmax"].iloc[0])
+            c0 = max(cmin, 0)
+            r0 = max(rmin, 0)
+            c1 = min(cmax, imw - 1)
+            r1 = min(rmax, imh - 1)
+            if c1 >= c0 and r1 >= r0:
+                mosaic = np.zeros((r1 - r0 + 1, c1 - c0 + 1, nbands), dtype=np.uint8)
+                for srow in pdf.itertuples():
+                    if srow.px is None:
+                        continue
+                    block = np.frombuffer(bytes(srow.px), dtype=np.uint8).reshape(
+                        (srow.h, srow.w, nbands)
+                    )
+                    # intersection of this source tile with the mosaic
+                    ic0 = max(srow.col0, c0)
+                    ic1 = min(srow.col0 + srow.w - 1, c1)
+                    ir0 = max(srow.row0, r0)
+                    ir1 = min(srow.row0 + srow.h - 1, r1)
+                    if ic1 < ic0 or ir1 < ir0:
+                        continue
+                    mosaic[
+                        ir0 - r0 : ir1 - r0 + 1, ic0 - c0 : ic1 - c0 + 1
+                    ] = block[
+                        ir0 - srow.row0 : ir1 - srow.row0 + 1,
+                        ic0 - srow.col0 : ic1 - srow.col0 + 1,
+                    ]
+                bpc = bx.reshape((oh, ow))
+                bpr = by.reshape((oh, ow))
+                valid = ~(np.isnan(bpc) | np.isnan(bpr))
+                bpc = np.around(bpc, 0).astype(int)
+                bpr = np.around(bpr, 0).astype(int)
+                # same full-source bounds mask as the single-array kernel
+                inb = (bpc >= 0) & (bpc < imw) & (bpr >= 0) & (bpr < imh)
+                mask = valid & inb
+                if nbands == 4:
+                    out[mask] = mosaic[bpr[mask] - r0, bpc[mask] - c0]
+                else:
+                    out[mask, :3] = mosaic[bpr[mask] - r0, bpc[mask] - c0]
+                    out[mask, -1] = 255
+        return pd.DataFrame(
+            {
+                "tile_x": [otx], "tile_y": [oty],
+                "col0": [ocol0], "row0": [orow0],
+                "w": [ow], "h": [oh],
+                "px": [bytearray(out.tobytes())],
+            }
+        )
+
+    out_tiles = matched.groupBy("otx", "oty").applyInPandas(render, TILE_SCHEMA)
+    return out_tiles, affine
+
+
+def tiles_to_image(rows, width: int, height: int) -> np.ndarray:
+    """Reassemble collected tile rows into one (h, w, 4) array."""
+    out = np.zeros((height, width, 4), dtype=np.uint8)
+    for r in rows:
+        block = np.frombuffer(bytes(r.px), dtype=np.uint8).reshape((r.h, r.w, 4))
+        out[r.row0 : r.row0 + r.h, r.col0 : r.col0 + r.w] = block
+    return out

@@ -1,0 +1,139 @@
+"""Spatial joins: broadcast containment, tile-bucketed salted join,
+point-in-polygon refine, kNN (SURVEY.md §2.6 N3-N6).
+
+Design for 10^12 rows / 1000 executors:
+
+- The polygon/region side is small → ``broadcast()`` it and keep the
+  big side shuffle-free (N5).  The containment predicate runs inside
+  WholeStageCodegen.
+- When the region side is too big to broadcast, the scale path is a
+  coarse-cell EQUI-join (regions exploded to their tile cover at a
+  coarse zoom; points keyed by the same tile) followed by an exact
+  refine predicate — turning an unbounded range join into a hash
+  join on tile_id (N6).
+- Zipf-skewed tiles make a handful of hash buckets huge; the
+  explicit-salting variant splinters each point's tile key into
+  ``n_salt`` sub-keys (pmod(doc_num, n_salt)) and replicates the
+  region side per salt — per the north rule, this is explicit and
+  testable (salted == unsalted), independent of AQE's skew splitting
+  (which stays enabled as belt-and-braces).
+- kNN control-point matching: broadcast the (tiny) center table,
+  rank by haversine with a per-point window, keep k (N4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo, tiles
+
+
+def _e5(c: F.Column) -> F.Column:
+    """Snap a coordinate to the exact integer 1e-5 lattice — all
+    containment/PIP predicates run in integer space so Spark and the
+    DuckDB oracle can never disagree at region boundaries."""
+    return F.round(c * 100000.0, 0).cast("long")
+
+
+def _contains() -> F.Column:
+    return (
+        (_e5(F.col("lon")) >= _e5(F.col("lon_min")))
+        & (_e5(F.col("lon")) < _e5(F.col("lon_max")))
+        & (_e5(F.col("lat")) >= _e5(F.col("lat_min")))
+        & (_e5(F.col("lat")) < _e5(F.col("lat_max")))
+    )
+
+
+def broadcast_contains_join(points: DataFrame, boxes: DataFrame) -> DataFrame:
+    """N5: points ⋈ region boxes by containment, region side broadcast."""
+    return points.join(F.broadcast(boxes), on=_contains(), how="inner")
+
+
+def _box_tile_cover(boxes: DataFrame, zoom: int) -> DataFrame:
+    """Explode each box into the coarse tiles it overlaps (driver-free,
+    pure Column sequence arithmetic)."""
+    n = 1 << zoom
+    tx_min, ty_min = tiles.tile_xy(F.col("lon_min"), F.col("lat_min"), zoom)
+    # upper edge is exclusive → subtract one lattice step before tiling
+    tx_max, ty_max = tiles.tile_xy(
+        F.col("lon_max") - 0.0001, F.col("lat_max") - 0.0001, zoom
+    )
+    covered = boxes.withColumn(
+        "tile_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(ty_min, ty_max),
+                    lambda ty: F.transform(
+                        F.sequence(tx_min, tx_max), lambda tx: ty * n + tx
+                    ),
+                )
+            )
+        ),
+    )
+    return covered
+
+
+def tiled_contains_join(
+    points: DataFrame, boxes: DataFrame, zoom: int = 4, n_salt: int = 0
+) -> DataFrame:
+    """N6: coarse-tile equi-join + exact refine, with optional explicit
+    salting.  Returns the same rows as broadcast_contains_join."""
+    cover = _box_tile_cover(boxes, zoom)
+    pts = points.withColumn("tile_id", tiles.tile_id(F.col("lon"), F.col("lat"), zoom))
+    if n_salt and n_salt > 1:
+        pts = pts.withColumn("salt", F.pmod(F.col("doc_num"), F.lit(n_salt)))
+        cover = cover.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        joined = pts.join(cover, on=["tile_id", "salt"], how="inner")
+    else:
+        joined = pts.join(cover, on=["tile_id"], how="inner")
+    out_cols = [c for c in joined.columns if c not in ("salt",)]
+    return joined.where(_contains()).select(*out_cols)
+
+
+def point_in_triangle_join(points: DataFrame, triangles: DataFrame) -> DataFrame:
+    """N3: exact point-in-polygon via the reference TIN's
+    boundary-inclusive cross-product sign test
+    (reference transforms.py:687-694), generalized to a broadcast
+    relational join.  Runs in integer 1e-5-lattice space (triangle
+    vertices are bigint lattice coords) — the cross products are
+    exact bigints, so boundary points are classified identically by
+    Spark and the oracle."""
+    x, y = _e5(F.col("lon")), _e5(F.col("lat"))
+    c1 = (F.col("x2") - F.col("x1")) * (y - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (x - F.col("x1"))
+    c2 = (F.col("x3") - F.col("x2")) * (y - F.col("y2")) - (
+        F.col("y3") - F.col("y2")
+    ) * (x - F.col("x2"))
+    c3 = (F.col("x1") - F.col("x3")) * (y - F.col("y3")) - (
+        F.col("y1") - F.col("y3")
+    ) * (x - F.col("x3"))
+    inside = ((c1 <= 0) & (c2 <= 0) & (c3 <= 0)) | (
+        (c1 >= 0) & (c2 >= 0) & (c3 >= 0)
+    )
+    return points.join(F.broadcast(triangles), on=inside, how="inner")
+
+
+def knn_join(points: DataFrame, centers: DataFrame, k: int = 1) -> DataFrame:
+    """N4: k nearest centers per point (centers broadcast, haversine
+    rank).  Output adds center_id, dist_km, knn_rank."""
+    c = centers.select(
+        F.col("center_id"),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+    )
+    crossed = points.join(F.broadcast(c))
+    dist = geo.haversine_km(
+        F.col("lon"), F.col("lat"), F.col("c_lon"), F.col("c_lat")
+    )
+    w = Window.partitionBy("doc_id", "span_pos").orderBy(
+        dist.asc(), F.col("center_id").asc()
+    )
+    ranked = crossed.withColumn("dist_km", dist).withColumn(
+        "knn_rank", F.row_number().over(w)
+    )
+    return ranked.where(F.col("knn_rank") <= k).drop("c_lon", "c_lat")

@@ -1,0 +1,187 @@
+"""DuckDB oracle SQL for each entry in plans/queries.py.
+
+The driver runs these on views (documents, nation, lineitem, events,
+embeddings, ...) over the same parquet the Spark queries read.  Texts
+recompute the pipeline numerically from the shared derivation spec —
+see sources/oracle.py docstring for why agreement validates the whole
+Spark path.
+"""
+
+from __future__ import annotations
+
+from ..functions.geo import haversine_km_sql
+from ..functions.text import (
+    fingerprint_sql,
+    punct_ratio_sql,
+    quality_score_sql,
+    token_count_sql,
+)
+from ..functions.tiles import tile_id_sql
+from ..sources import oracle as geo_oracle
+from ..sources import synthspec
+
+
+def tile_counts() -> str:
+    return geo_oracle.tile_counts_sql(zoom=10)
+
+
+def region_join_counts() -> str:
+    return geo_oracle.region_join_counts_sql()
+
+
+def pip_triangle_counts() -> str:
+    return geo_oracle.pip_triangle_counts_sql()
+
+
+def knn_counts() -> str:
+    return geo_oracle.knn_counts_sql()
+
+
+def hotspot_share() -> str:
+    return geo_oracle.hotspot_cell_share_sql(zoom=10)
+
+
+def affine_fit() -> str:
+    """Closed-form normal-equation solve (Cramer) over the GCP VALUES
+    — the sufficient-statistics formulation of the reference's lstsq
+    fit (transforms.py:458-485)."""
+    vals = ", ".join(
+        f"({sx!r}e0, {sy!r}e0, {dx!r}e0, {dy!r}e0)"
+        for sx, sy, dx, dy in synthspec.GCPS_PX_GEO
+    )
+
+    def cramer(rhs1: str, rhs2: str, rhs3: str) -> tuple[str, str, str]:
+        det = (
+            "(sxx*(syy*n - sy_*sy_) - sxy*(sxy*n - sy_*sx_) "
+            "+ sx_*(sxy*sy_ - syy*sx_))"
+        )
+        d0 = (
+            f"({rhs1}*(syy*n - sy_*sy_) - sxy*({rhs2}*n - sy_*{rhs3}) "
+            f"+ sx_*({rhs2}*sy_ - syy*{rhs3}))"
+        )
+        d1 = (
+            f"(sxx*({rhs2}*n - sy_*{rhs3}) - {rhs1}*(sxy*n - sy_*sx_) "
+            f"+ sx_*(sxy*{rhs3} - {rhs2}*sx_))"
+        )
+        d2 = (
+            f"(sxx*(syy*{rhs3} - {rhs2}*sy_) - sxy*(sxy*{rhs3} - {rhs2}*sx_) "
+            f"+ {rhs1}*(sxy*sy_ - syy*sx_))"
+        )
+        return f"{d0}/{det}", f"{d1}/{det}", f"{d2}/{det}"
+
+    ax = cramer("sxu", "syu", "su")
+    ay = cramer("sxv", "syv", "sv")
+    cols = []
+    for name, expr in zip(
+        ("a00_e6", "a01_e6", "a02_e6", "a10_e6", "a11_e6", "a12_e6"), ax + ay
+    ):
+        cols.append(f"cast(round(({expr}) * 1000000e0) as bigint) AS {name}")
+    return f"""
+WITH g(sx, sy, dx, dy) AS (VALUES {vals}),
+m AS (
+    SELECT cast(count(*) as double) AS n,
+           sum(sx*sx) AS sxx, sum(sx*sy) AS sxy, sum(sy*sy) AS syy,
+           sum(sx) AS sx_, sum(sy) AS sy_,
+           sum(sx*dx) AS sxu, sum(sy*dx) AS syu, sum(dx) AS su,
+           sum(sx*dy) AS sxv, sum(sy*dy) AS syv, sum(dy) AS sv
+    FROM g
+)
+SELECT {', '.join(cols)} FROM m
+"""
+
+
+def span_pair_distance() -> str:
+    e = synthspec.point_exprs_sql("doc_num")
+    hav = haversine_km_sql("lon0", "lat0", "lon1", "lat1")
+    return f"""
+WITH ids AS (SELECT (l_orderkey * 8 + l_linenumber) AS doc_num FROM lineitem),
+paired AS (
+    SELECT round({e['lon']}, 4) AS lon0, round({e['lat']}, 4) AS lat0,
+           {e['lon2']} AS lon1, {e['lat2']} AS lat1
+    FROM ids WHERE {e['has_second']}
+),
+d AS (SELECT {hav} AS dist_km FROM paired)
+SELECT cast(round(sqrt(avg(dist_km * dist_km)) * 10000e0) as bigint) AS rmse_e4,
+       cast(round(avg(abs(dist_km)) * 10000e0) as bigint) AS mae_e4,
+       cast(round(max(abs(dist_km)) * 10000e0) as bigint) AS max_e4,
+       count(*) AS n_pairs
+FROM d
+"""
+
+
+def quality_by_lang() -> str:
+    return f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum({token_count_sql('text')}) AS sum_tokens,
+       cast(round(avg({quality_score_sql('text')}) * 1000000e0) as bigint) AS avg_quality_e6,
+       cast(round(avg({punct_ratio_sql('text')}) * 1000000e0) as bigint) AS avg_punct_e6
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def dedup_exact() -> str:
+    return f"""
+WITH groups AS (
+    SELECT {fingerprint_sql('text')} AS fp, count(*) AS cnt
+    FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_groups,
+       sum(cnt) AS n_docs,
+       sum(cnt - 1) AS n_redundant,
+       sum(case when cnt > 1 then 1 else 0 end) AS n_dup_groups
+FROM groups
+"""
+
+
+def embedding_knn_l2() -> str:
+    return """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+               x -> cast(round(cast(x as double) * 1000e0) as bigint)) AS qv
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           (SELECT sum((ua - ub) * (ua - ub))
+              FROM (SELECT unnest(a.qv) AS ua, unnest(b.qv) AS ub)) AS d2
+    FROM q a, q b
+    WHERE a.vec_id < 10 AND b.vec_id >= 10
+),
+ranked AS (
+    SELECT query_id, vec_id, d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, vec_id ASC) AS rnk
+    FROM pairs
+)
+SELECT query_id, rnk, vec_id AS neighbor_id, d2
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       cast(round(sum(l_quantity) * 100e0) as bigint) AS sum_qty_e2,
+       cast(round(sum(l_extendedprice) * 100e0) as bigint) AS sum_price_e2,
+       cast(round(sum(l_extendedprice * (1 - l_discount)) * 100e0) as bigint) AS sum_disc_price_e2,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def events_by_type() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       cast(round(sum(value) * 10000e0) as bigint) AS sum_value_e4,
+       count(distinct user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,304 @@
+"""Named engine queries for the driver correctness gate.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the
+matching DuckDB oracle SQL lives in plans/oracles.py.  Naming/scaling
+conventions shared with the oracles:
+
+- every float output is scaled to an integer column named ``*_eN``
+  (``cast(round(x * 10^N) as bigint)``) so cross-engine value hashes
+  can never differ in the last ulp;
+- containment/PIP predicates run on the integer 1e-5 lattice;
+- all aggregates are explicitly aliased (driver hashes by column
+  name).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo, text, tiles
+from ..operators import extract, spatial_join
+from ..sources import synth
+
+TILE_ZOOM = 10
+
+
+def _e(col, n: int = 6):
+    return F.round(col * float(10 ** n), 0).cast("long")
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    return extract.extract_coordinates(docs, affine_a)
+
+
+# --------------------------------------------------------------------------
+# geospatial pipeline queries
+# --------------------------------------------------------------------------
+
+def q_tile_counts(spark, sf_dir) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    return (
+        pts.select(tiles.tile_id(F.col("lon"), F.col("lat"), TILE_ZOOM).alias("tile_id"))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.desc("n_points"), F.asc("tile_id"))
+        .limit(100)
+    )
+
+
+def q_region_join_bcast(spark, sf_dir) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    boxes = synth.region_boxes(spark, sf_dir)
+    joined = spatial_join.broadcast_contains_join(pts, boxes)
+    return (
+        joined.groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("region_id")
+    )
+
+
+def q_region_join_salted(spark, sf_dir) -> DataFrame:
+    """Same answer as q_region_join_bcast through the explicit-salt
+    tile-bucketed shuffle path (the non-broadcastable-dim scale plan)."""
+    pts = points_df(spark, sf_dir)
+    boxes = synth.region_boxes(spark, sf_dir)
+    joined = spatial_join.tiled_contains_join(pts, boxes, zoom=4, n_salt=8)
+    return (
+        joined.groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("region_id")
+    )
+
+
+def q_pip_triangle(spark, sf_dir) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    tris = synth.region_triangles(spark, sf_dir)
+    joined = spatial_join.point_in_triangle_join(pts, tris)
+    return (
+        joined.groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("region_id")
+    )
+
+
+def q_knn_city_assign(spark, sf_dir) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    centers = synth.knn_centers(spark)
+    nearest = spatial_join.knn_join(pts, centers, k=1)
+    return (
+        nearest.groupBy("center_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("center_id")
+    )
+
+
+def q_hotspot_share(spark, sf_dir) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    cells = (
+        pts.select(tiles.tile_id(F.col("lon"), F.col("lat"), TILE_ZOOM).alias("tile_id"))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top10 = cells.orderBy(F.desc("n"), F.asc("tile_id")).limit(10)
+    total = cells.agg(F.sum("n").alias("total"))
+    top_sum = top10.agg(F.sum("n").alias("top"))
+    return top_sum.crossJoin(total).select(
+        _e(F.col("top").cast("double") / F.col("total"), 6).alias("top10_share_e6")
+    )
+
+
+def q_affine_fit(spark, sf_dir) -> DataFrame:
+    """Distributed model fit: groupBy(set_id).applyInPandas over the
+    GCP table running the parity kernel (SURVEY.md §2.1 op 1 Spark
+    mapping); oracle solves the same normal equations via Cramer."""
+    gcps = synth.gcps(spark)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import Affine
+
+        a = Affine().fit(
+            pdf["src_x"].to_numpy(),
+            pdf["src_y"].to_numpy(),
+            pdf["dst_x"].to_numpy(),
+            pdf["dst_y"].to_numpy(),
+        ).A
+        return pd.DataFrame(
+            {
+                "a00_e6": [round(a[0, 0] * 1e6)],
+                "a01_e6": [round(a[0, 1] * 1e6)],
+                "a02_e6": [round(a[0, 2] * 1e6)],
+                "a10_e6": [round(a[1, 0] * 1e6)],
+                "a11_e6": [round(a[1, 1] * 1e6)],
+                "a12_e6": [round(a[1, 2] * 1e6)],
+            }
+        )
+
+    schema = ", ".join(f"a{i}{j}_e6 long" for i in (0, 1) for j in (0, 1, 2))
+    return gcps.groupBy("set_id").applyInPandas(fit, schema)
+
+
+def q_span_pair_distance(spark, sf_dir) -> DataFrame:
+    """Haversine metrics (reference accuracy.py:22-41 formulation,
+    R=6367) between each doc's primary and secondary media points."""
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pairs = extract.span_pair_points(docs, affine_a)
+    d = geo.haversine_km(F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))
+    paired = pairs.select(d.alias("dist_km"))
+    return paired.agg(
+        _e(F.sqrt(F.avg(F.pow(F.col("dist_km"), 2))), 4).alias("rmse_e4"),
+        _e(F.avg(F.abs(F.col("dist_km"))), 4).alias("mae_e4"),
+        _e(F.max(F.abs(F.col("dist_km"))), 4).alias("max_e4"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data / text / similarity queries
+# --------------------------------------------------------------------------
+
+def q_quality_by_lang(spark, sf_dir) -> DataFrame:
+    docs = synth.raw_documents(spark, sf_dir)
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(t)).alias("sum_tokens"),
+            _e(F.avg(text.quality_score(t)), 6).alias("avg_quality_e6"),
+            _e(F.avg(text.punct_ratio(t)), 6).alias("avg_punct_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    docs = synth.raw_documents(spark, sf_dir)
+    fp = docs.select(text.fingerprint(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("cnt") - 1).alias("n_redundant"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def q_embedding_knn_l2(spark, sf_dir) -> DataFrame:
+    """Brute-force top-5 nearest neighbours (squared L2, integer-exact
+    on 1e-3-quantized embeddings) for the first 10 vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000.0, 0).cast("long"),
+        ).alias("q"),
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    pairs = queries.join(F.broadcast(emb.where(F.col("vec_id") >= 10)))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    ranked = (
+        pairs.select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )
+    return ranked.select(
+        "query_id", F.col("rnk").alias("rnk"), F.col("vec_id").alias("neighbor_id"), "d2"
+    ).orderBy("query_id", "rnk")
+
+
+def q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over the documents corpus
+    (shingle→minhash→band→bucket-join→verify).  Deterministic (fixed
+    xxhash64 seeds) but not SQL-expressible → rows-only driver check;
+    the numpy oracle lives in tests/test_dedup_similarity.py."""
+    from ..operators import dedup
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing: synth media → mapInPandas feature extract
+    → per-kind stats.  Decode is a deterministic stub (no codec libs
+    here); the Spark-side schema/batching is the real design."""
+    from ..operators import multimodal
+
+    docs = synth.docs_spans(spark, sf_dir).where(F.col("doc_num") % 97 == 0)
+    media = multimodal.synth_media(spark, docs)
+    feats = multimodal.extract_features(media, feature_dim=8)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+            _e(F.avg(F.element_at("feature", 1)), 2).alias("avg_f0_e2"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_embedding_ann_lsh(spark, sf_dir) -> DataFrame:
+    """Scale-path ANN: multi-table sign-LSH bucket join + exact
+    re-rank.  Approximate by design → rows-only driver check; recall
+    vs brute force is asserted in tests."""
+    from ..operators import similarity
+
+    emb = similarity.with_unit_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    out = similarity.lsh_topk(corpus, queries_df, k=5, n_planes=4, n_tables=4)
+    return out.select(
+        "query_id", "rnk", F.col("nb_id").alias("neighbor_id"),
+        _e(F.col("cos"), 4).alias("cos_e4"),
+    ).orderBy("query_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# relational smoke queries (Spark SQL machinery itself)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _e(F.sum("l_quantity"), 2).alias("sum_qty_e2"),
+            _e(F.sum("l_extendedprice"), 2).alias("sum_price_e2"),
+            _e(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price_e2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_events_by_type(spark, sf_dir) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _e(F.sum("value"), 4).alias("sum_value_e4"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,161 @@
+"""Spark-side deterministic corpus builders.
+
+Derives the interleaved-docs spans table (BASELINE.json:input_hint
+shape), the GCP table, and the region tables from the driver's
+read-only parquet testdata using ONLY the shared derivation spec
+(sources/synthspec.py) — every coordinate is pure integer arithmetic
+on doc_id, so the DuckDB oracle (sources/oracle.py) reproduces it
+exactly.
+
+The docs table is the engine's canonical input:
+  docs(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+with 2-5 interleaved spans per doc, >=1 media span carrying a
+``geo:<lon>,<lat>`` or ``px:<col>,<row>`` payload (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import synthspec
+
+
+def raw_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_SPAN_FIELDS = "kind string, text string, media_ref string, offset int"
+
+# docs derive from lineitem (the only testdata table that actually
+# scales with sf: 6k/60k/600k rows) — doc_num is the unique
+# lineitem key; the flat `documents` table stays the corpus for the
+# pure text-analysis operators.
+DOC_NUM_SQL = "(l_orderkey * 8 + l_linenumber)"
+
+
+def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved text+media docs table.
+
+    Span layout (doc_num-deterministic, offsets strictly increasing):
+      0: text  substr(text, 1, 24)                       offset 0
+      1: media geo:%.4f,%.4f | px:%.2f,%.2f (primary)    offset 24
+      2: text  substr(text, 25, 24)   when doc_num%3>=1  offset 48
+      3: media geo (secondary point)  when doc_num%3==2  offset 72
+      4: text  substr(text, 49, 24)   when doc_num%2==1  offset 96
+    """
+    e = synthspec.point_exprs_sql("doc_num")
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{DOC_NUM_SQL} AS doc_num",
+    ).selectExpr(
+        "doc_num",
+        "concat(md5(cast(doc_num as string)), "
+        "md5(cast(doc_num + 1 as string)), "
+        "md5(cast(doc_num + 2 as string))) AS text",
+        f"{e['lon']} AS lon",
+        f"{e['lat']} AS lat",
+        f"{e['is_px']} AS is_px",
+        f"{e['px_col']} AS px_col",
+        f"{e['px_row']} AS px_row",
+        f"{e['has_second']} AS has_second",
+        f"{e['lon2']} AS lon2",
+        f"{e['lat2']} AS lat2",
+    )
+    primary_ref = F.when(
+        F.col("is_px"),
+        F.format_string("px:%.2f,%.2f", F.col("px_col"), F.col("px_row")),
+    ).otherwise(F.format_string("geo:%.4f,%.4f", F.col("lon"), F.col("lat")))
+
+    def text_span(start: int, offset: int):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.substring("text", start, 24).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+
+    def media_span(ref, offset: int):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+
+    all_spans = F.array(
+        text_span(1, 0),
+        media_span(primary_ref, 24),
+        text_span(25, 48),
+        media_span(
+            F.format_string("geo:%.4f,%.4f", F.col("lon2"), F.col("lat2")), 72
+        ),
+        text_span(49, 96),
+    )
+    spans = F.filter(
+        all_spans,
+        lambda s, i: (i < 2)
+        | ((i == 2) & (F.col("doc_num") % 3 >= 1))
+        | ((i == 3) & (F.col("doc_num") % 3 == 2))
+        | ((i == 4) & (F.col("doc_num") % 2 == 1)),
+    )
+    return base.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_num").cast("string"), 12, "0")).alias(
+            "doc_id"
+        ),
+        F.col("doc_num"),
+        spans.alias("spans"),
+    )
+
+
+def gcps(spark: SparkSession) -> DataFrame:
+    """The px→geo ground-control-point table (FIXTURES.md §2 shape)."""
+    rows = [
+        ("px2geo", i, sx, sy, dx, dy)
+        for i, (sx, sy, dx, dy) in enumerate(synthspec.GCPS_PX_GEO)
+    ]
+    return spark.createDataFrame(
+        rows, "set_id string, gcp_id int, src_x double, src_y double, dst_x double, dst_y double"
+    )
+
+
+def region_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 axis-aligned region boxes tiling the lon/lat domain exactly
+    (5x5), keyed by nation — a deterministic polygon layer whose
+    containment join has an exact SQL oracle.  Every point falls in
+    exactly one box."""
+    return spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey AS region_id",
+        "n_name AS region_name",
+        "-180.0 + (n_nationkey % 5) * 72.0 AS lon_min",
+        "-180.0 + (n_nationkey % 5) * 72.0 + 72.0 AS lon_max",
+        "-85.0 + cast(floor(n_nationkey / 5) as int) * 34.0 AS lat_min",
+        "-85.0 + cast(floor(n_nationkey / 5) as int) * 34.0 + 34.0 AS lat_max",
+    )
+
+
+def region_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One convex triangle per nation, strictly inside its box —
+    drives the exact point-in-polygon (sign-test) join, generalizing
+    the reference TIN's point-in-triangle kernel
+    (reference transforms.py:687-694) to a relational operator.
+
+    Vertices are emitted on the integer 1e-5-degree lattice (bigint)
+    so the sign test is EXACT integer arithmetic in both Spark and the
+    DuckDB oracle — no cross-engine float-boundary ambiguity."""
+    return region_boxes(spark, sf_dir).selectExpr(
+        "region_id",
+        "region_name",
+        "cast((lon_min + 8.0)  * 100000 as bigint) AS x1",
+        "cast((lat_min + 4.0)  * 100000 as bigint) AS y1",
+        "cast((lon_min + 64.0) * 100000 as bigint) AS x2",
+        "cast((lat_min + 10.0) * 100000 as bigint) AS y2",
+        "cast((lon_min + 30.0) * 100000 as bigint) AS x3",
+        "cast((lat_max - 4.0)  * 100000 as bigint) AS y3",
+    )
+
+
+def knn_centers(spark: SparkSession) -> DataFrame:
+    """The 10 hotspot city centers as a broadcastable center table
+    for kNN control-point matching."""
+    rows = [(i, lon, lat) for i, (lon, lat) in enumerate(synthspec.CITIES)]
+    return spark.createDataFrame(rows, "center_id int, lon double, lat double")
