@@ -19,32 +19,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from transformio_spark.plans import oracles  # noqa: E402
 from transformio_spark.plans import queries as q  # noqa: E402
+from transformio_spark.plans.session import ensure_shipped  # noqa: E402
+
+
+def _shipped(fn: Callable) -> Callable:
+    """Wrap a query so the engine package reaches executor Python
+    workers regardless of how the driver launched (see
+    plans/session.ensure_shipped)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full docs→extract→
     transform→tile→spatial-join pipeline, per-region point counts."""
+    ensure_shipped(spark)
     return q.q_region_join_bcast(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "tile_counts": q.q_tile_counts,
-        "region_join_bcast": q.q_region_join_bcast,
-        "region_join_salted": q.q_region_join_salted,
-        "pip_triangle": q.q_pip_triangle,
-        "knn_city_assign": q.q_knn_city_assign,
-        "hotspot_share": q.q_hotspot_share,
-        "affine_fit": q.q_affine_fit,
-        "span_pair_distance": q.q_span_pair_distance,
-        "quality_by_lang": q.q_quality_by_lang,
-        "dedup_exact": q.q_dedup_exact,
-        "minhash_pairs": q.q_minhash_pairs,
-        "media_features": q.q_media_features,
-        "embedding_knn_l2": q.q_embedding_knn_l2,
-        "embedding_ann_lsh": q.q_embedding_ann_lsh,
-        "pricing_summary": q.q_pricing_summary,
-        "events_by_type": q.q_events_by_type,
+        "tile_counts": _shipped(q.q_tile_counts),
+        "region_join_bcast": _shipped(q.q_region_join_bcast),
+        "region_join_salted": _shipped(q.q_region_join_salted),
+        "pip_triangle": _shipped(q.q_pip_triangle),
+        "knn_city_assign": _shipped(q.q_knn_city_assign),
+        "hotspot_share": _shipped(q.q_hotspot_share),
+        "affine_fit": _shipped(q.q_affine_fit),
+        "span_pair_distance": _shipped(q.q_span_pair_distance),
+        "vector_transform": _shipped(q.q_vector_transform),
+        "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
+        "loo_residuals": _shipped(q.q_loo_residuals),
+        "quality_by_lang": _shipped(q.q_quality_by_lang),
+        "dedup_exact": _shipped(q.q_dedup_exact),
+        "minhash_pairs": _shipped(q.q_minhash_pairs),
+        "media_features": _shipped(q.q_media_features),
+        "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
+        "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
+        "pricing_summary": _shipped(q.q_pricing_summary),
+        "events_by_type": _shipped(q.q_events_by_type),
     }
 
 
@@ -58,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_share": oracles.hotspot_share(),
         "affine_fit": oracles.affine_fit(),
         "span_pair_distance": oracles.span_pair_distance(),
+        "vector_transform": oracles.vector_transform(),
         "quality_by_lang": oracles.quality_by_lang(),
         "dedup_exact": oracles.dedup_exact(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the optimizations that matter at
+100 TB must be visible in the plan, not just in wall-clock —
+broadcast HASH joins (not nested-loop), column pruning to the parquet
+scan, inline kNN without any join, bounded shuffle counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from transformio_spark.plans import queries as q
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_region_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(q.q_region_join_bcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pip_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(q.q_pip_triangle(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_inline_has_no_join(spark, sf_dir):
+    plan = _plan(q.q_knn_city_assign(spark, sf_dir))
+    assert "Join" not in plan  # argmin compiled into the projection
+
+
+def test_docs_scan_prunes_columns(spark, sf_dir):
+    """The spans corpus needs only (l_orderkey, l_linenumber) from
+    lineitem — the scan must not read the other 9 columns."""
+    from transformio_spark.sources import synth
+
+    plan = _plan(synth.docs_spans(spark, sf_dir))
+    scan = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert scan, plan
+    line = scan[0]
+    assert "l_orderkey" in line and "l_linenumber" in line
+    for col in ("l_extendedprice", "l_comment", "l_shipdate", "l_quantity"):
+        assert col not in line
+
+
+def test_tile_counts_shuffle_budget(spark, sf_dir):
+    """extract→tile→count must shuffle at most twice (the explicit
+    source repartition + the aggregation exchange; AQE may add a
+    coalesce but no extra exchanges)."""
+    import re
+
+    plan = _plan(q.q_tile_counts(spark, sf_dir))
+    # formatted plans list each node twice (tree + details)
+    n_exchanges = len(set(re.findall(r"\(\d+\) Exchange", plan)))
+    assert n_exchanges <= 3, plan
+
+
+def test_scale_job_plan(spark, sf_dir):
+    """The scaling probe's join must be hash+broadcast with codegen."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.operators import extract, spatial_join
+    from transformio_spark.plans.queries import (
+        _grid_key_from_box,
+        _grid_key_from_coords,
+    )
+    from transformio_spark.sources import synth
+
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pts = extract.extract_coordinates(docs, affine_a)
+    boxes = synth.region_boxes(spark, sf_dir)
+    joined = spatial_join.broadcast_contains_join(
+        pts, boxes, point_key=_grid_key_from_coords, box_key=_grid_key_from_box
+    )
+    plan = _plan(joined.groupBy("region_id").count())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

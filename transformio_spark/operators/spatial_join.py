@@ -45,9 +45,32 @@ def _contains() -> F.Column:
     )
 
 
-def broadcast_contains_join(points: DataFrame, boxes: DataFrame) -> DataFrame:
-    """N5: points ⋈ region boxes by containment, region side broadcast."""
-    return points.join(F.broadcast(boxes), on=_contains(), how="inner")
+def broadcast_contains_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    point_key=None,
+    box_key=None,
+) -> DataFrame:
+    """N5: points ⋈ region boxes by containment, region side broadcast.
+
+    Without keys this is a BroadcastNestedLoopJoin (predicate applied
+    to every (point, box) pair) — correct for arbitrary boxes but the
+    predicate runs |boxes| times per point and BNLJ skips whole-stage
+    codegen.  When the caller can express a coarse cell key computable
+    on BOTH sides (point coords → key, box extent → key set), pass
+    ``point_key(points) -> Column`` and ``box_key(boxes) -> Column``:
+    the join becomes a broadcast HASH join on the key with the exact
+    containment predicate as a codegen'd post-filter — the same
+    coarse-key+refine plan the tiled path uses, minus the shuffle."""
+    if point_key is None or box_key is None:
+        return points.join(F.broadcast(boxes), on=_contains(), how="inner")
+    pts = points.withColumn("_ck", point_key(points))
+    bxs = boxes.withColumn("_ck", box_key(boxes))
+    return (
+        pts.join(F.broadcast(bxs), on="_ck", how="inner")
+        .where(_contains())
+        .drop("_ck")
+    )
 
 
 def _box_tile_cover(boxes: DataFrame, zoom: int) -> DataFrame:
@@ -94,15 +117,7 @@ def tiled_contains_join(
     return joined.where(_contains()).select(*out_cols)
 
 
-def point_in_triangle_join(points: DataFrame, triangles: DataFrame) -> DataFrame:
-    """N3: exact point-in-polygon via the reference TIN's
-    boundary-inclusive cross-product sign test
-    (reference transforms.py:687-694), generalized to a broadcast
-    relational join.  Runs in integer 1e-5-lattice space (triangle
-    vertices are bigint lattice coords) — the cross products are
-    exact bigints, so boundary points are classified identically by
-    Spark and the oracle."""
-    x, y = _e5(F.col("lon")), _e5(F.col("lat"))
+def _pit_predicate(x, y) -> F.Column:
     c1 = (F.col("x2") - F.col("x1")) * (y - F.col("y1")) - (
         F.col("y2") - F.col("y1")
     ) * (x - F.col("x1"))
@@ -112,15 +127,76 @@ def point_in_triangle_join(points: DataFrame, triangles: DataFrame) -> DataFrame
     c3 = (F.col("x1") - F.col("x3")) * (y - F.col("y3")) - (
         F.col("y1") - F.col("y3")
     ) * (x - F.col("x3"))
-    inside = ((c1 <= 0) & (c2 <= 0) & (c3 <= 0)) | (
+    return ((c1 <= 0) & (c2 <= 0) & (c3 <= 0)) | (
         (c1 >= 0) & (c2 >= 0) & (c3 >= 0)
     )
+
+
+def point_in_triangle_join_keyed(
+    points: DataFrame, triangles: DataFrame, point_key, tri_key
+) -> DataFrame:
+    """N3 scale path: broadcast HASH join on a coarse cell key (both
+    sides computable), exact integer-lattice sign test as a codegen'd
+    post-filter.  Same output as point_in_triangle_join when every
+    triangle lies within one coarse cell."""
+    pts = points.withColumn("_ck", point_key(points))
+    tris = triangles.withColumn("_ck", tri_key(triangles))
+    joined = pts.join(F.broadcast(tris), on="_ck", how="inner")
+    return joined.where(
+        _pit_predicate(_e5(F.col("lon")), _e5(F.col("lat")))
+    ).drop("_ck")
+
+
+def point_in_triangle_join(points: DataFrame, triangles: DataFrame) -> DataFrame:
+    """N3: exact point-in-polygon via the reference TIN's
+    boundary-inclusive cross-product sign test
+    (reference transforms.py:687-694), generalized to a broadcast
+    relational join.  Runs in integer 1e-5-lattice space (triangle
+    vertices are bigint lattice coords) — the cross products are
+    exact bigints, so boundary points are classified identically by
+    Spark and the oracle."""
+    inside = _pit_predicate(_e5(F.col("lon")), _e5(F.col("lat")))
     return points.join(F.broadcast(triangles), on=inside, how="inner")
 
 
-def knn_join(points: DataFrame, centers: DataFrame, k: int = 1) -> DataFrame:
-    """N4: k nearest centers per point (centers broadcast, haversine
-    rank).  Output adds center_id, dist_km, knn_rank."""
+def knn_join(
+    points: DataFrame, centers: DataFrame, k: int = 1, inline: bool = True
+) -> DataFrame:
+    """N4: k nearest centers per point.  Output adds center_id,
+    dist_km, knn_rank.
+
+    inline=True (default, the scale plan for small center sets): the
+    center table is collected on the driver (it is a broadcast-sized
+    control-point set) and compiled INTO the expression — per row,
+    an array of (dist, center_id) structs is built, array_sort'ed and
+    sliced to k.  Zero joins, zero shuffles, whole-stage codegen;
+    the per-point window-rank plan would shuffle |points| x |centers|
+    rows just to pick minima.
+
+    inline=False keeps the general broadcast cross join + window rank
+    for center sets too big to inline."""
+    if inline:
+        rows = centers.select("center_id", "lon", "lat").collect()
+        entries = [
+            F.struct(
+                geo.haversine_km(
+                    F.col("lon"), F.col("lat"),
+                    F.lit(float(r.lon)), F.lit(float(r.lat)),
+                ).alias("dist_km"),
+                F.lit(r.center_id).alias("center_id"),
+            )
+            for r in rows
+        ]
+        topk = F.slice(F.array_sort(F.array(*entries)), 1, k)
+        out = points.select(
+            "*", F.posexplode(topk).alias("_pos", "_nn")
+        )
+        return (
+            out.withColumn("center_id", F.col("_nn.center_id"))
+            .withColumn("dist_km", F.col("_nn.dist_km"))
+            .withColumn("knn_rank", F.col("_pos") + 1)
+            .drop("_pos", "_nn")
+        )
     c = centers.select(
         F.col("center_id"),
         F.col("lon").alias("c_lon"),

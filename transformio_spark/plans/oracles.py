@@ -109,6 +109,38 @@ FROM d
 """
 
 
+def vector_transform() -> str:
+    from .queries import VECTOR_AFFINE as A
+
+    def t(xe, ye):
+        px = f"({A[0][0]!r}e0 * ({xe}) + {A[0][1]!r}e0 * ({ye}) + {A[0][2]!r}e0)"
+        py = f"({A[1][0]!r}e0 * ({xe}) + {A[1][1]!r}e0 * ({ye}) + {A[1][2]!r}e0)"
+        return (
+            f"cast(round({px} * 1000000e0) as bigint) AS x_e6, "
+            f"cast(round({py} * 1000000e0) as bigint) AS y_e6"
+        )
+
+    return f"""
+WITH {geo_oracle.boxes_cte()},
+tris AS (
+    SELECT region_id,
+           cast(cast((lon_min + 8.0)  * 100000 as bigint) as double)/100000.0 AS x1,
+           cast(cast((lat_min + 4.0)  * 100000 as bigint) as double)/100000.0 AS y1,
+           cast(cast((lon_min + 64.0) * 100000 as bigint) as double)/100000.0 AS x2,
+           cast(cast((lat_min + 10.0) * 100000 as bigint) as double)/100000.0 AS y2,
+           cast(cast((lon_min + 30.0) * 100000 as bigint) as double)/100000.0 AS x3,
+           cast(cast((lat_max - 4.0)  * 100000 as bigint) as double)/100000.0 AS y3
+    FROM boxes
+)
+SELECT region_id, 0 AS pt_seq, {t('x1', 'y1')} FROM tris
+UNION ALL
+SELECT region_id, 1 AS pt_seq, {t('x2', 'y2')} FROM tris
+UNION ALL
+SELECT region_id, 2 AS pt_seq, {t('x3', 'y3')} FROM tris
+ORDER BY region_id, pt_seq
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

@@ -50,10 +50,39 @@ def q_tile_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def _grid_key_from_coords(df) -> F.Column:
+    """Coarse cell key of a point in the 5x5 region grid — exact
+    integer-lattice arithmetic (boxes are 72x34 degrees)."""
+    lon_e5 = F.round(F.col("lon") * 100000.0, 0).cast("long")
+    lat_e5 = F.round(F.col("lat") * 100000.0, 0).cast("long")
+    return (
+        F.floor((lat_e5 + 8_500_000) / 3_400_000) * 5
+        + F.floor((lon_e5 + 18_000_000) / 7_200_000)
+    ).cast("long")
+
+
+def _grid_key_from_box(df) -> F.Column:
+    return (
+        F.floor((F.col("lat_min") + 85.0) / 34.0) * 5
+        + F.floor((F.col("lon_min") + 180.0) / 72.0)
+    ).cast("long")
+
+
+def _grid_key_from_triangle(df) -> F.Column:
+    # triangle vertices are e5-lattice bigints inside their box:
+    # x1 = (lon_min + 8) * 1e5 with lon_min = -180 + 72k → exact k
+    return (
+        F.floor((F.col("y1") + 8_100_000) / 3_400_000) * 5
+        + F.floor((F.col("x1") + 17_200_000) / 7_200_000)
+    ).cast("long")
+
+
 def q_region_join_bcast(spark, sf_dir) -> DataFrame:
     pts = points_df(spark, sf_dir)
     boxes = synth.region_boxes(spark, sf_dir)
-    joined = spatial_join.broadcast_contains_join(pts, boxes)
+    joined = spatial_join.broadcast_contains_join(
+        pts, boxes, point_key=_grid_key_from_coords, box_key=_grid_key_from_box
+    )
     return (
         joined.groupBy("region_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -77,7 +106,10 @@ def q_region_join_salted(spark, sf_dir) -> DataFrame:
 def q_pip_triangle(spark, sf_dir) -> DataFrame:
     pts = points_df(spark, sf_dir)
     tris = synth.region_triangles(spark, sf_dir)
-    joined = spatial_join.point_in_triangle_join(pts, tris)
+    joined = spatial_join.point_in_triangle_join_keyed(
+        pts, tris,
+        point_key=_grid_key_from_coords, tri_key=_grid_key_from_triangle,
+    )
     return (
         joined.groupBy("region_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -216,6 +248,136 @@ def q_embedding_knn_l2(spark, sf_dir) -> DataFrame:
     return ranked.select(
         "query_id", F.col("rnk").alias("rnk"), F.col("vec_id").alias("neighbor_id"), "d2"
     ).orderBy("query_id", "rnk")
+
+
+VECTOR_AFFINE = [[1.25, 0.0, 3.0], [0.0, 0.75, -2.0], [0.0, 0.0, 1.0]]
+
+
+def q_vector_transform(spark, sf_dir) -> DataFrame:
+    """Vector-geometry pipeline through the Arrow pandas-UDF kernel
+    path (SURVEY §2.4 op 27 at scale): triangle vertices → exploded
+    long point table → JSON-IR model applied in a pandas UDF →
+    re-nest → flatten for comparison.  The oracle recomputes the same
+    affine arithmetically."""
+    import json as _json
+
+    from ..kernels import Affine
+    from ..operators import udfs, vector_geom
+
+    tris = synth.region_triangles(spark, sf_dir)
+    long_pts = tris.selectExpr(
+        "cast(region_id as string) AS geom_id",
+        "0 AS part_id", "0 AS ring_id",
+        "stack(3, 0, cast(x1 as double)/100000.0, cast(y1 as double)/100000.0, "
+        "1, cast(x2 as double)/100000.0, cast(y2 as double)/100000.0, "
+        "2, cast(x3 as double)/100000.0, cast(y3 as double)/100000.0) "
+        "AS (pt_seq, x, y)"
+    )
+    model_json = _json.dumps(Affine(A=VECTOR_AFFINE).to_json())
+    out = vector_geom.transform_long(long_pts, model_json)
+    nested = vector_geom.renest(out)
+    flat = nested.select(
+        F.col("geom_id").cast("int").alias("region_id"),
+        F.posexplode(F.element_at(F.element_at("parts", 1), 1)).alias("pt_seq", "pt"),
+    )
+    return flat.select(
+        "region_id",
+        "pt_seq",
+        _e(F.col("pt.x"), 6).alias("x_e6"),
+        _e(F.col("pt.y"), 6).alias("y_e6"),
+    ).orderBy("region_id", "pt_seq")
+
+
+def q_warp_tile_checksums(spark, sf_dir) -> DataFrame:
+    """Distributed tiled raster warp (SURVEY §2.5 op 30): seeded
+    synthetic image, rotation+scale chain, per-output-tile md5
+    checksums.  Deterministic rows-only check (pixel data is not
+    SQL-expressible); bit-parity vs the single-array kernel is
+    asserted in tests/test_warp.py."""
+    import json as _json
+    import math as _math
+
+    import numpy as _np
+
+    from ..kernels import Affine as _Affine
+    from ..kernels import Chain as _Chain
+    from ..kernels import warp as _kwarp
+    from ..operators import raster
+
+    rng = _np.random.default_rng(11)
+    size0 = 256
+    y, x = _np.mgrid[0:size0, 0:size0]
+    im = _np.stack(
+        [
+            (x * 255 // size0).astype(_np.uint8),
+            (y * 255 // size0).astype(_np.uint8),
+            (((x // 32 + y // 32) % 2) * 255).astype(_np.uint8),
+            _np.full((size0, size0), 255, _np.uint8),
+        ],
+        axis=-1,
+    )
+    _ = rng  # seeded for future texture use; gradient+checker is deterministic
+    chain = _Chain([
+        _Affine(A=[[0.9, 0, 5], [0, 1.1, -3], [0, 0, 1]]),
+        _Affine(rotate=_math.radians(10)),
+    ])
+    bounds = _kwarp.imbounds(size0, size0, chain)
+    dx, dy = bounds[2] - bounds[0], bounds[3] - bounds[1]
+    s = _math.hypot(dx, dy) / _math.hypot(size0, size0)
+    size = (int(dx / s), int(dy / s))
+    affine = [s, 0, bounds[0], 0, -s, bounds[3]]
+    tiles_df = raster.image_to_tiles(spark, im, tile=96)
+    out_tiles, _aff = raster.warp_tiled(
+        spark, tiles_df, (size0, size0), _json.dumps(chain.to_json()),
+        affine, size, out_tile=64,
+    )
+    return out_tiles.select(
+        "tile_x", "tile_y", F.md5(F.col("px")).alias("px_md5")
+    ).orderBy("tile_x", "tile_y")
+
+
+def q_loo_residuals(spark, sf_dir) -> DataFrame:
+    """Leave-one-out residuals on the china22 GCP set (SURVEY §2.3 op
+    19) — n parallel refits via groupBy(held-out id).applyInPandas,
+    each group running the parity kernel.  Values are golden-pinned in
+    tests; rows-only driver check (re-fitting is not SQL)."""
+    import pandas as _pd
+
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+
+    n = len(CHINA22_IMPOINTS)
+    rows = [
+        (h, i, float(CHINA22_IMPOINTS[i][0]), float(CHINA22_IMPOINTS[i][1]),
+         float(CHINA22_GEOPOINTS[i][0]), float(CHINA22_GEOPOINTS[i][1]))
+        for h in range(n)
+        for i in range(n)
+    ]
+    gcps = spark.createDataFrame(
+        rows, "held_out int, gcp_id int, sx double, sy double, dx double, dy double"
+    )
+
+    def fit_predict(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        from ..kernels import Polynomial
+        from ..kernels.accuracy import distances
+
+        held = int(pdf["held_out"].iloc[0])
+        keep = pdf[pdf["gcp_id"] != held]
+        hold = pdf[pdf["gcp_id"] == held]
+        t = Polynomial(order=2).fit(
+            keep["sx"].to_numpy(), keep["sy"].to_numpy(),
+            keep["dx"].to_numpy(), keep["dy"].to_numpy(),
+        )
+        px, py = t.predict(hold["sx"].to_numpy(), hold["sy"].to_numpy())
+        resid = distances(
+            hold["dx"].to_numpy(), hold["dy"].to_numpy(), px, py, "geodesic"
+        )
+        return _pd.DataFrame({"gcp_id": [held], "resid_e6": [round(resid[0] * 1e6)]})
+
+    return (
+        gcps.groupBy("held_out")
+        .applyInPandas(fit_predict, "gcp_id int, resid_e6 long")
+        .orderBy("gcp_id")
+    )
 
 
 def q_minhash_pairs(spark, sf_dir) -> DataFrame:

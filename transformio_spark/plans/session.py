@@ -11,8 +11,44 @@ for the local core count — on a real cluster this would be set to
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the transformio_spark package to executor Python workers
+    via addPyFile (idempotent per session).
+
+    Needed because pandas-UDF/applyInPandas closures reference package
+    modules by name: cloudpickle pickles them by reference, and a
+    worker spawned by a driver whose sys.path was extended at runtime
+    (rather than via PYTHONPATH or --py-files) cannot resolve the
+    import.  addPyFile distributes the zip and prepends it to worker
+    sys.path at runtime — the same mechanism spark-submit --py-files
+    uses, so this is a no-op safety net under submit.py."""
+    if getattr(spark, "_transformio_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(root, "dist", "transformio_spark_auto.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(pkg_dir)
+        for f in fns
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for dp, _dn, fns in os.walk(pkg_dir):
+                if "__pycache__" in dp:
+                    continue
+                for f in fns:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._transformio_shipped = True
 
 
 def build_session(

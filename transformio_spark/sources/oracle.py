@@ -119,17 +119,25 @@ ORDER BY 1
 
 
 def knn_counts_sql() -> str:
+    # doc_num is NOT unique (duplicate lineitem keys) — dedupe to
+    # distinct points with multiplicity, rank per distinct point,
+    # then weight the counts; a plain per-(doc,span) window would
+    # silently collapse duplicates.
     hav = haversine_km_sql("p.lon", "p.lat", "c.c_lon", "c.c_lat")
     return f"""
 WITH {points_cte()}, {centers_cte()},
+pg AS (
+    SELECT doc_num, span_pos, lon, lat, count(*) AS mult
+    FROM pts GROUP BY 1, 2, 3, 4
+),
 ranked AS (
-    SELECT p.doc_num, p.span_pos, c.center_id,
+    SELECT p.mult, c.center_id,
            row_number() OVER (
-               PARTITION BY p.doc_num, p.span_pos
+               PARTITION BY p.doc_num, p.span_pos, p.lon, p.lat
                ORDER BY {hav} ASC, c.center_id ASC) AS rnk
-    FROM pts p CROSS JOIN centers c
+    FROM pg p CROSS JOIN centers c
 )
-SELECT center_id, count(*) AS n_points
+SELECT center_id, cast(sum(mult) as bigint) AS n_points
 FROM ranked WHERE rnk = 1
 GROUP BY 1
 ORDER BY 1

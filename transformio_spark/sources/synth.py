@@ -45,9 +45,16 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       4: text  substr(text, 49, 24)   when doc_num%2==1  offset 96
     """
     e = synthspec.point_exprs_sql("doc_num")
+    # The local testdata is a single-row-group parquet file → one scan
+    # split; without an explicit repartition every downstream narrow
+    # op would run on ONE task regardless of core count.  On a real
+    # cluster the Iceberg scan yields many splits and this exchange
+    # would be unnecessary — it stays here because it is also the
+    # deterministic doc_num-hash layout later stages key on.
+    par = spark.sparkContext.defaultParallelism * 2
     base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         f"{DOC_NUM_SQL} AS doc_num",
-    ).selectExpr(
+    ).repartition(par, "doc_num").selectExpr(
         "doc_num",
         "concat(md5(cast(doc_num as string)), "
         "md5(cast(doc_num + 1 as string)), "
