@@ -55,12 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
         "quality_by_lang": _shipped(q.q_quality_by_lang),
+        "lang_id_counts": _shipped(q.q_lang_id_counts),
+        "auto_choose_model": _shipped(q.q_auto_choose_model),
         "dedup_exact": _shipped(q.q_dedup_exact),
         "minhash_pairs": _shipped(q.q_minhash_pairs),
         "media_features": _shipped(q.q_media_features),
         "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
         "pricing_summary": _shipped(q.q_pricing_summary),
+        "revenue_by_nation": _shipped(q.q_revenue_by_nation),
         "events_by_type": _shipped(q.q_events_by_type),
     }
 
@@ -77,8 +80,10 @@ def oracle_sql() -> dict[str, str]:
         "span_pair_distance": oracles.span_pair_distance(),
         "vector_transform": oracles.vector_transform(),
         "quality_by_lang": oracles.quality_by_lang(),
+        "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "pricing_summary": oracles.pricing_summary(),
+        "revenue_by_nation": oracles.revenue_by_nation(),
         "events_by_type": oracles.events_by_type(),
     }

@@ -47,6 +47,48 @@ def quality_score(text: Column) -> Column:
     return mean_word * (F.lit(1.0) - stop_share)
 
 
+# tiny per-language function-word profiles for the n-gram/stopword
+# language-ID heuristic (real pipelines would plug fastText/CLD3 here;
+# the heuristic keeps the plan JVM-side and SQL-twinnable)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def _in_words(words):
+    # arity-1 closure — a default-arg lambda would be bound as the
+    # (element, index) two-arg form and receive the array index
+    def pred(t):
+        return t.isin(words)
+
+    return pred
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.split(F.lower(text), " ")
+    return {
+        lang: F.size(F.filter(toks, _in_words(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over stopword-profile scores; 'und'
+    (undetermined) when no profile scores > 0.  Deterministic
+    tie-break: profile order en > es > de > fr (strict > comparison)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit document fingerprint (md5 of normalized
     text) — exact-dedup key; identical function exists in DuckDB."""
@@ -91,3 +133,21 @@ def quality_score_sql(text: str) -> str:
 
 def fingerprint_sql(text: str) -> str:
     return f"md5(lower(trim({text})))"
+
+
+def lang_id_sql(text: str) -> str:
+    """Same argmax with the same strict-> tie-break, as nested CASE."""
+    def score(words):
+        quoted = ", ".join(f"'{w}'" for w in words)
+        return (
+            f"len(list_filter(string_split(lower({text}), ' '), "
+            f"t -> t in ({quoted})))"
+        )
+
+    expr_lang = "'und'"
+    expr_score = "0"
+    for lang, words in LANG_PROFILES.items():
+        s = score(words)
+        expr_lang = f"(case when {s} > ({expr_score}) then '{lang}' else {expr_lang} end)"
+        expr_score = f"(case when {s} > ({expr_score}) then {s} else {expr_score} end)"
+    return expr_lang

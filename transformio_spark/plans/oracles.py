@@ -194,6 +194,31 @@ ORDER BY query_id, rnk
 """
 
 
+def lang_id_counts() -> str:
+    from ..functions.text import lang_id_sql
+
+    return f"""
+SELECT lang, {lang_id_sql('text')} AS pred_lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def revenue_by_nation() -> str:
+    return """
+SELECT n.n_name AS n_name,
+       count(*) AS n_orders,
+       cast(round(sum(o.o_totalprice) * 100e0) as bigint) AS revenue_e2,
+       count(distinct c.c_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,

@@ -433,9 +433,104 @@ def q_embedding_ann_lsh(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_lang_id_counts(spark, sf_dir) -> DataFrame:
+    """Language-ID heuristic (stopword-profile argmax) over the
+    documents corpus vs the labeled lang column."""
+    docs = synth.raw_documents(spark, sf_dir)
+    return (
+        docs.select(
+            "lang", text.lang_id(F.col("text")).alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_auto_choose_model(spark, sf_dir) -> DataFrame:
+    """SURVEY op 24 on Spark: candidate transforms evaluated in
+    PARALLEL via groupBy(candidate).applyInPandas, each group running
+    the full auto_drop_models(leave_one_out=True) refinement; the
+    final stable-sorted selection happens relationally.  Must
+    reproduce the README golden: Polynomial order 2, 18 points, RMSE
+    278.617602953 (README.md:423-437).  Rows-only (re-fitting loops
+    are not SQL)."""
+    import pandas as _pd
+
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+
+    candidates = ["poly1", "poly2", "poly3", "tin"]
+    n = len(CHINA22_IMPOINTS)
+    rows = [
+        (c, i, float(CHINA22_IMPOINTS[i][0]), float(CHINA22_IMPOINTS[i][1]),
+         float(CHINA22_GEOPOINTS[i][0]), float(CHINA22_GEOPOINTS[i][1]))
+        for c in candidates
+        for i in range(n)
+    ]
+    gcps = spark.createDataFrame(
+        rows, "candidate string, gcp_id int, sx double, sy double, dx double, dy double"
+    )
+
+    def evaluate(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        from ..kernels import TIN, Polynomial
+        from ..kernels.accuracy import auto_drop_models
+
+        cand = pdf["candidate"].iloc[0]
+        trans = {"poly1": lambda: Polynomial(order=1),
+                 "poly2": lambda: Polynomial(order=2),
+                 "poly3": lambda: Polynomial(order=3),
+                 "tin": TIN}[cand]()
+        pdf = pdf.sort_values("gcp_id")
+        inpts = list(zip(pdf["sx"], pdf["sy"]))
+        outpts = list(zip(pdf["dx"], pdf["dy"]))
+        try:
+            _t, kept_in, _ko, _p, _r, err = auto_drop_models(
+                trans, inpts, outpts, leave_one_out=True,
+                distance="geodesic", metric="rmse",
+            )
+        except Exception:
+            return _pd.DataFrame(
+                {"candidate": [], "n_points": [], "err_e6": []}
+            )
+        return _pd.DataFrame(
+            {
+                "candidate": [cand],
+                "n_points": [len(kept_in)],
+                "err_e6": [round(err * 1e6)],
+            }
+        )
+
+    results = gcps.groupBy("candidate").applyInPandas(
+        evaluate, "candidate string, n_points int, err_e6 long"
+    )
+    # stable selection: lowest error, candidate order as tie-break
+    order = F.when(F.col("candidate") == "poly1", 0).when(
+        F.col("candidate") == "poly2", 1
+    ).when(F.col("candidate") == "poly3", 2).otherwise(3)
+    return results.orderBy(F.asc("err_e6"), order.asc()).limit(1)
+
+
 # --------------------------------------------------------------------------
 # relational smoke queries (Spark SQL machinery itself)
 # --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark, sf_dir) -> DataFrame:
+    """Multi-join relational query (orders ⋈ customer ⋈ nation):
+    Spark SQL's own join machinery under the oracle gate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _e(F.sum("o_totalprice"), 2).alias("revenue_e2"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
 
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
