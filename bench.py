@@ -104,6 +104,67 @@ def scale_job(spark, docs_path: str, sf_dir: str, runs: int = 2) -> tuple[int, f
     return int(n_rows), best
 
 
+def skew_probe(spark, docs_path: str, sf_dir: str) -> dict:
+    """Explicit-salting evidence (north rule: skew handled explicitly):
+    a genuinely skewed SHUFFLE join — broadcast disabled, AQE skew-join
+    disabled — of Zipf-hot tile keys against a per-tile dim table,
+    salted vs unsalted.  Returns both walls + the (asserted-equal) row
+    counts.  AQE skew handling is re-enabled afterwards (it stays on in
+    production as belt-and-braces; this probe isolates OUR salting)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions import tiles
+    from transformio_spark.operators import extract
+    from transformio_spark.sources import synth
+
+    zoom = 8
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    docs = spark.read.parquet(docs_path)
+    pts = extract.extract_coordinates(docs, affine_a).withColumn(
+        "tile_id", tiles.tile_id(F.col("lon"), F.col("lat"), zoom)
+    )
+    dim = pts.select("tile_id").distinct().withColumn(
+        "tile_weight", F.pmod(F.col("tile_id"), F.lit(97))
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        def run_join(n_salt: int) -> tuple[float, int]:
+            p, d = pts, dim
+            if n_salt > 1:
+                p = p.withColumn("salt", F.pmod(F.col("doc_num"), F.lit(n_salt)))
+                d = d.withColumn(
+                    "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                )
+                keys = ["tile_id", "salt"]
+            else:
+                keys = ["tile_id"]
+            j = p.join(d, on=keys).groupBy().agg(
+                F.count(F.lit(1)).alias("n"), F.sum("tile_weight").alias("w")
+            )
+            t0 = _t.perf_counter()
+            row = j.collect()[0]
+            return _t.perf_counter() - t0, (row.n, row.w)
+
+        run_join(1)  # warm-up
+        un_wall, un_res = run_join(1)
+        sa_wall, sa_res = run_join(16)
+        assert un_res == sa_res, "salted join changed results!"
+        return {
+            "unsalted_sec": round(un_wall, 4),
+            "salted_sec": round(sa_wall, 4),
+            "rows": un_res[0],
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
+
 def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
         scale_factor: int = 8) -> dict:
     from transformio_spark.plans import queries as q
@@ -133,6 +194,7 @@ def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
     pipeline_sec = timings["region_join_bcast"]
     docs_path = materialize_scale_corpus(spark, sf_dir, scale_factor)
     n_scaled, scale_wall = scale_job(spark, docs_path, sf_dir)
+    skew = skew_probe(spark, docs_path, sf_dir)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total",
@@ -146,6 +208,7 @@ def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
         "scale_points": n_scaled,
         "scale_wall_sec": round(scale_wall, 4),
         "scale_points_per_sec": round(n_scaled / scale_wall, 2),
+        "skew_probe": skew,
     }
     spark.stop()
     return result

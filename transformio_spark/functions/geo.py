@@ -82,6 +82,36 @@ def affine_predict_sql(A, x: str, y: str) -> tuple[str, str]:
     return px, py
 
 
+def _poly_terms_sql(order: int, x: str, y: str) -> list[str]:
+    if order == 1:
+        return [x, y, "1e0"]
+    xx, xy, yy = f"({x}*{x})", f"({x}*{y})", f"({y}*{y})"
+    if order == 2:
+        return [xx, xy, yy, x, y, "1e0"]
+    if order == 3:
+        return [
+            f"({xx}*{x})", f"({xx}*{y})", f"({x}*{yy})", f"({yy}*{y})",
+            xx, xy, yy, x, y, "1e0",
+        ]
+    raise ValueError(order)
+
+
+def dlit_sql(c: float) -> str:
+    """A double literal valid in both dialects for any float repr
+    (plain `0.9` would parse as DECIMAL; `1e-05` already has an
+    exponent so the e0-suffix trick can't apply uniformly)."""
+    return f"cast({float(c)!r} as double)"
+
+
+def polynomial_predict_sql(A, order: int, x: str, y: str) -> tuple[str, str]:
+    """SQL twin of polynomial_predict — identical term order and
+    left-to-right summation so both engines evaluate the same fp tree."""
+    terms = _poly_terms_sql(order, x, y)
+    px = " + ".join(f"{dlit_sql(c)} * {t}" for c, t in zip(A[0], terms))
+    py = " + ".join(f"{dlit_sql(c)} * {t}" for c, t in zip(A[1], terms))
+    return f"({px})", f"({py})"
+
+
 def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     return (
         f"(2.0 * {EARTH_RADIUS_KM!r}e0 * asin(sqrt("

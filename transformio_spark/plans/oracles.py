@@ -194,6 +194,23 @@ ORDER BY query_id, rnk
 """
 
 
+def poly2_transform() -> str:
+    from ..functions.geo import polynomial_predict_sql
+    from .queries import POLY2_A
+
+    px, py = polynomial_predict_sql(POLY2_A, 2, "lon", "lat")
+    return f"""
+WITH {geo_oracle.points_cte()},
+t AS (SELECT {px} AS px, {py} AS py FROM pts)
+SELECT count(*) AS n_points,
+       cast(round(sum(px) * 10000e0) as bigint) AS sum_px_e4,
+       cast(round(sum(py) * 10000e0) as bigint) AS sum_py_e4,
+       cast(round(min(px) * 1000000e0) as bigint) AS min_px_e6,
+       cast(round(max(py) * 1000000e0) as bigint) AS max_py_e6
+FROM t
+"""
+
+
 def lang_id_counts() -> str:
     from ..functions.text import lang_id_sql
 

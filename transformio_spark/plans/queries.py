@@ -433,6 +433,66 @@ def q_embedding_ann_lsh(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+# literal order-2 matrix for the Column-expression transform path
+# (small high-order coefficients keep outputs bounded on ±180 inputs)
+POLY2_A = [
+    [1e-05, -2e-05, 1.5e-05, 0.9, 0.05, 3.0],
+    [-1e-05, 2.5e-05, -5e-06, 0.04, 0.95, -2.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+]
+
+
+def q_poly2_transform(spark, sf_dir) -> DataFrame:
+    """Order-2 polynomial transform as PURE Column arithmetic (SURVEY
+    op 11's preferred physical form — whole-stage codegen, no Python):
+    identical fp expression tree in the DuckDB oracle, so aggregates
+    match to the last ulp before e-scaling."""
+    pts = points_df(spark, sf_dir)
+    px, py = geo.polynomial_predict(POLY2_A, 2, F.col("lon"), F.col("lat"))
+    out = pts.select(px.alias("px"), py.alias("py"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _e(F.sum("px"), 4).alias("sum_px_e4"),
+        _e(F.sum("py"), 4).alias("sum_py_e4"),
+        _e(F.min("px"), 6).alias("min_px_e6"),
+        _e(F.max("py"), 6).alias("max_py_e6"),
+    )
+
+
+def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
+    """Forward+inverse round trip through the pandas-UDF kernel path:
+    poly-2 fitted on china22 (swapped-refit inverse,
+    reference transforms.py:201-206), applied forward then backward to
+    the doc points; reports round-trip euclidean error stats.  The
+    o>=2 inverse is an ESTIMATE (GDAL-style), so the error is small
+    but nonzero — the distribution is the observable.  Rows-only."""
+    import json as _json
+
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from ..kernels import Polynomial
+    from ..operators import udfs
+
+    imx, imy = zip(*CHINA22_IMPOINTS)
+    gx, gy = zip(*CHINA22_GEOPOINTS)
+    trans = Polynomial(order=2).fit(imx, imy, gx, gy)
+    fwd = _json.dumps(trans.to_json())
+    inv = _json.dumps(trans.inverse().to_json())
+
+    # px-space doc points (bounded domain where the fit is valid)
+    pts = points_df(spark, sf_dir).select(
+        ((F.col("lon") + 180.0) * 3.0).alias("x"),
+        ((F.col("lat") + 85.0) * 5.5).alias("y"),
+    )
+    f = udfs.with_transformed(pts, fwd, x="x", y="y", out_x="fx", out_y="fy")
+    b = udfs.with_transformed(f, inv, x="fx", y="fy", out_x="bx", out_y="by")
+    err = geo.euclidean(F.col("x"), F.col("y"), F.col("bx"), F.col("by"))
+    return b.select(err.alias("err")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _e(F.sqrt(F.avg(F.pow(F.col("err"), 2))), 6).alias("rmse_e6"),
+        _e(F.max("err"), 6).alias("max_e6"),
+    )
+
+
 def q_lang_id_counts(spark, sf_dir) -> DataFrame:
     """Language-ID heuristic (stopword-profile argmax) over the
     documents corpus vs the labeled lang column."""
