@@ -56,7 +56,7 @@ def materialize_scale_corpus(spark, sf_dir: str, factor: int = 8) -> str:
     return path
 
 
-def scale_job(spark, docs_path: str, sf_dir: str, runs: int = 2) -> tuple[int, float]:
+def scale_job(spark, docs_path: str, sf_dir: str, runs: int = 3) -> tuple[int, float]:
     """The scaling-efficiency probe (north rule: throughput at N vs 4N
     executors): the full flagship pipeline FROM STORAGE — parquet docs
     scan → media-span extract → fitted-affine decode → tile encode →
@@ -193,8 +193,15 @@ def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
 
     pipeline_sec = timings["region_join_bcast"]
     docs_path = materialize_scale_corpus(spark, sf_dir, scale_factor)
-    n_scaled, scale_wall = scale_job(spark, docs_path, sf_dir)
     skew = skew_probe(spark, docs_path, sf_dir)
+    # the scaling probe runs in a FRESH JVM: heap/GC state left by the
+    # headline queries adds multi-second noise that swamps the 8c-vs-
+    # 32c comparison (observed 2.9s -> 7.9s on identical work)
+    spark.stop()
+    spark = build_session(app_name=f"bench-scale-{cores}", cores=cores)
+    if quiet:
+        spark.sparkContext.setLogLevel("ERROR")
+    n_scaled, scale_wall = scale_job(spark, docs_path, sf_dir)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total",

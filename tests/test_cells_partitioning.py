@@ -1,0 +1,73 @@
+"""Hierarchical cell ids (Morton) and the storage-layout levers that
+matter at 100 TB: parent/child consistency, spatial locality of the
+Z-order key, and partition pruning on a tile-bucketed write."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transformio_spark.functions import tiles
+from transformio_spark.operators import extract
+from transformio_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    return extract.extract_coordinates(
+        synth.docs_spans(spark, sf_dir), affine_a
+    ).cache()
+
+
+def test_cell_parent_consistency(spark, pts):
+    """cell_parent(cell_id(z), z, z-2) must equal cell_id(z-2) for
+    every point — the H3/S2-style resolution ladder is pure bit math."""
+    df = pts.select(
+        tiles.cell_id(F.col("lon"), F.col("lat"), 10).alias("c10"),
+        tiles.cell_id(F.col("lon"), F.col("lat"), 8).alias("c8"),
+    ).withColumn("c8_derived", tiles.cell_parent(F.col("c10"), 10, 8))
+    bad = df.where(F.col("c8") != F.col("c8_derived")).count()
+    assert bad == 0
+
+
+def test_morton_locality(spark, pts):
+    """Z-order locality: consecutive cell ids must be geographically
+    near — the property that makes repartitionByRange(cell_id) a
+    spatial partitioner.  Check that the mean lon/lat span inside
+    each of 64 contiguous cell-id range buckets is far below the
+    global span."""
+    df = pts.select(
+        "lon", "lat", tiles.cell_id(F.col("lon"), F.col("lat"), 8).alias("cell")
+    )
+    bucketed = df.withColumn("bucket", F.ntile(64).over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("cell")
+    ))
+    spans = bucketed.groupBy("bucket").agg(
+        (F.max("lon") - F.min("lon")).alias("lon_span"),
+        (F.max("lat") - F.min("lat")).alias("lat_span"),
+    ).agg(F.avg("lon_span").alias("alon"), F.avg("lat_span").alias("alat")).collect()[0]
+    assert spans.alon < 120.0  # global span is 360
+    assert spans.alat < 60.0   # global span is 170
+
+
+def test_partition_pruning_on_tile_bucket(spark, pts, tmp_path):
+    """Write points partitioned by coarse cell; a cell-filtered read
+    must show PartitionFilters in the scan (pruned, not post-filtered)
+    and return exactly the matching rows."""
+    out = str(tmp_path / "pts_by_cell")
+    with_cell = pts.withColumn(
+        "cell4", tiles.tile_id(F.col("lon"), F.col("lat"), 4)
+    )
+    with_cell.write.mode("overwrite").partitionBy("cell4").parquet(out)
+    back = spark.read.parquet(out)
+    target = with_cell.groupBy("cell4").count().orderBy(F.desc("count")).first()
+    filtered = back.where(F.col("cell4") == target.cell4)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(cell4" in plan or "PartitionFilters" in plan
+    # the pruning filter must actually be ON cell4
+    pf_line = [l for l in plan.split("\n") if "PartitionFilters" in l][0]
+    assert "cell4" in pf_line
+    assert filtered.count() == target["count"]

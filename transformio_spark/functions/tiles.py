@@ -66,7 +66,8 @@ def _interleave(c: Column, bits: int) -> Column:
     for shift, mask in masks:
         if shift * 2 >= 2 * bits and shift >= bits:
             continue
-        out = (out | F.shiftleft(out, shift)).bitwiseAND(F.lit(mask))
+        # NOTE: Column `|` is boolean OR — bitwiseOR is explicit
+        out = out.bitwiseOR(F.shiftleft(out, shift)).bitwiseAND(F.lit(mask))
     return out
 
 
@@ -75,7 +76,9 @@ def cell_id(lon: Column, lat: Column, zoom: int) -> Column:
     bits: (zoom << 58) | interleave(tx, ty).  Parent/child relations
     are bit-shifts, like H3/S2 resolutions."""
     tx, ty = tile_xy(lon, lat, zoom)
-    morton = _interleave(tx, zoom) | F.shiftleft(_interleave(ty, zoom), 1)
+    morton = _interleave(tx, zoom).bitwiseOR(
+        F.shiftleft(_interleave(ty, zoom), 1)
+    )
     return (F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long") + morton).cast("long")
 
 
