@@ -151,9 +151,19 @@ def skew_probe(spark, docs_path: str, sf_dir: str) -> dict:
             row = j.collect()[0]
             return _t.perf_counter() - t0, (row.n, row.w)
 
-        run_join(1)  # warm-up
-        un_wall, un_res = run_join(1)
-        sa_wall, sa_res = run_join(16)
+        def best_of(n_salt: int, k: int = 2) -> tuple[float, int]:
+            best_wall, res = float("inf"), None
+            for _ in range(k):
+                w, r = run_join(n_salt)
+                best_wall, res = min(best_wall, w), r
+            return best_wall, res
+
+        # warm both variants (codegen/JIT), then best-of-2 each —
+        # single-shot timing is hostage to noisy-neighbor windows
+        run_join(1)
+        run_join(16)
+        un_wall, un_res = best_of(1)
+        sa_wall, sa_res = best_of(16)
         assert un_res == sa_res, "salted join changed results!"
         return {
             "unsalted_sec": round(un_wall, 4),
