@@ -51,6 +51,22 @@ def _normalize(rows, cols):
     return [c for c in sorted(cols)], out
 
 
+_TYPE_CANON = {
+    # spark simpleString -> canonical
+    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32", "string": "string",
+    "boolean": "bool",
+    # arrow str(type) -> canonical
+    "int64": "int64", "int32": "int32", "int16": "int16", "int8": "int8",
+    "float64": "float64", "float32": "float32", "large_string": "string",
+    "bool": "bool", "decimal128(38, 0)": "HUGEINT", "hugeint": "HUGEINT",
+}
+
+
+def _norm_type(t: str) -> str:
+    return _TYPE_CANON.get(t, t)
+
+
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
@@ -73,12 +89,26 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         assert sorted(map(repr, srows)) == sorted(map(repr, srows2))
         assert len(srows) >= 1
         return
-    res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = [tuple(r) for r in res.fetchall()]
+    arrow = duck.execute(sql).arrow()
+    dcols = arrow.column_names
+    drows = [
+        tuple(arrow.column(c)[i].as_py() for c in dcols)
+        for i in range(arrow.num_rows)
+    ]
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch {scols} vs {dcols}"
     )
+    # Compare dtypes, not just values: the driver hashes TYPED values,
+    # so e.g. a DuckDB HUGEINT sum vs a Spark bigint diverges even when
+    # every value is numerically identical (round-1 postmortem).
+    stypes = {f.name: _norm_type(str(f.dataType.simpleString())) for f in sdf.schema}
+    dtypes = {
+        f.name: _norm_type(str(f.type)) for f in arrow.schema
+    }
+    type_mism = {
+        c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]
+    }
+    assert not type_mism, f"{name}: dtype mismatch {type_mism}"
     s_cols, s_norm = _normalize(srows, scols)
     d_cols, d_norm = _normalize(drows, dcols)
     assert len(s_norm) == len(d_norm), (

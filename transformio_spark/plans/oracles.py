@@ -145,7 +145,7 @@ def quality_by_lang() -> str:
     return f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum({token_count_sql('text')}) AS sum_tokens,
+       cast(sum({token_count_sql('text')}) as bigint) AS sum_tokens,
        cast(round(avg({quality_score_sql('text')}) * 1000000e0) as bigint) AS avg_quality_e6,
        cast(round(avg({punct_ratio_sql('text')}) * 1000000e0) as bigint) AS avg_punct_e6
 FROM documents
@@ -161,9 +161,9 @@ WITH groups AS (
     FROM documents GROUP BY 1
 )
 SELECT count(*) AS n_groups,
-       sum(cnt) AS n_docs,
-       sum(cnt - 1) AS n_redundant,
-       sum(case when cnt > 1 then 1 else 0 end) AS n_dup_groups
+       cast(sum(cnt) as bigint) AS n_docs,
+       cast(sum(cnt - 1) as bigint) AS n_redundant,
+       cast(sum(case when cnt > 1 then 1 else 0 end) as bigint) AS n_dup_groups
 FROM groups
 """
 
@@ -177,8 +177,8 @@ WITH q AS (
 ),
 pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-           (SELECT sum((ua - ub) * (ua - ub))
-              FROM (SELECT unnest(a.qv) AS ua, unnest(b.qv) AS ub)) AS d2
+           cast((SELECT sum((ua - ub) * (ua - ub))
+              FROM (SELECT unnest(a.qv) AS ua, unnest(b.qv) AS ub)) as bigint) AS d2
     FROM q a, q b
     WHERE a.vec_id < 10 AND b.vec_id >= 10
 ),

@@ -246,7 +246,11 @@ def q_embedding_knn_l2(spark, sf_dir) -> DataFrame:
         .where(F.col("rnk") <= 5)
     )
     return ranked.select(
-        "query_id", F.col("rnk").alias("rnk"), F.col("vec_id").alias("neighbor_id"), "d2"
+        "query_id",
+        # long, to match DuckDB's row_number() (bigint) in the oracle
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("vec_id").alias("neighbor_id"),
+        "d2",
     ).orderBy("query_id", "rnk")
 
 
