@@ -121,7 +121,9 @@ def test_lsh_topk_recall(embeddings):
     )
     corpus = embeddings.where(F.col("vec_id") >= 20)
     exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
-    approx = similarity.lsh_topk(corpus, queries, k=5, n_planes=4, n_tables=8).collect()
+    approx = similarity.lsh_topk(
+        corpus, queries, k=5, n_planes=4, n_tables=8, dim=64
+    ).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.nb_id)

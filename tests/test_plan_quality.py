@@ -80,3 +80,19 @@ def test_scale_job_plan(spark, sf_dir):
     plan = _plan(joined.groupBy("region_id").count())
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    """Brute-force embedding kNN must broadcast the (tiny) QUERY set,
+    never the corpus — the corpus is the 10^12-row side at scale.
+    Also pin the map-side WindowGroupLimit(Partial): only the per-
+    partition top-k reaches the shuffle."""
+    plan = _plan(q.q_embedding_knn_l2(spark, sf_dir))
+    # the BroadcastExchange node's Input must be the query projection
+    import re
+
+    m = re.search(r"BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "query_id" in m.group(1), m.group(1)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan

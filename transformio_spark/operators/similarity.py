@@ -42,9 +42,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k of each query vs the corpus.  queries must
-    have (query_id, unit); corpus (vec_id, unit)."""
+    have (query_id, unit); corpus (vec_id, unit).
+
+    Scale plan: the CORPUS is the unbroadcastable side (10^12 rows) —
+    broadcast the small query set onto it, so the only shuffle is the
+    top-k window exchange on query_id."""
     c = corpus.select(F.col(id_col).alias("nb_id"), F.col("unit").alias("c_unit"))
-    crossed = queries.join(F.broadcast(c) if queries is not c else c)
+    q = queries.select("query_id", "unit")
+    crossed = c.join(F.broadcast(q))
     cos = _dot(F.col("unit"), F.col("c_unit"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
     return (
@@ -85,9 +90,17 @@ def lsh_topk(
     independent plane sets produces a (table, bucket) key; candidates
     are the union over tables of same-bucket corpus rows, deduped, then
     exactly re-ranked by cosine.  Recall grows with n_tables, cost with
-    candidates — the standard tradeoff dial."""
+    candidates — the standard tradeoff dial.
+
+    ``dim`` must be supplied by the caller (it is a property of the
+    embedding model, known statically): inferring it with a driver
+    action (`.first()`) would put a full Spark job in the hot path of
+    every ANN call."""
     if dim is None:
-        dim = len(corpus.select("unit").first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (embedding dimensionality); "
+            "do not infer it with a driver action"
+        )
     cb_keys = []
     qb_keys = []
     for t in range(n_tables):

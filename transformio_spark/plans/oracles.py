@@ -194,6 +194,106 @@ ORDER BY query_id, rnk
 """
 
 
+def _dlit(v: float) -> str:
+    """Render a python float as a DuckDB DOUBLE literal (repr round-
+    trips; force an exponent so DuckDB doesn't type it DECIMAL)."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def minhash_pairs() -> str:
+    """Brute-force exact-Jaccard oracle for the MinHash-LSH pairs
+    query (operators/dedup.py:minhash_lsh_pairs, threshold 0.5).
+
+    The Spark query emits candidate pairs that (a) collide in >=1 of 8
+    LSH bands and (b) verify at exact Jaccard >= 0.5.  This oracle
+    computes ALL pairs with exact Jaccard >= 0.5 (same 8-char distinct
+    shingles).  The two agree iff LSH recall is 100% on the gate data
+    — which holds deterministically here: the planted near-dups have
+    J >> 0.5 (single-band hit prob 1-(1-J^4)^8 ~ 1), and equality was
+    verified exhaustively at sf0.001 (28 pairs) and sf0.01 (25 pairs).
+    """
+    return """
+WITH sh AS (
+  SELECT cast(doc_id as varchar) AS id,
+         list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),
+                                      i -> substring(text, i, 8))) AS s
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       cast(round(1000000.0 * len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s)))) as bigint) AS jaccard_e6
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE cast(len(list_intersect(a.s, b.s)) as double)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+def embedding_ann_lsh(
+    k: int = 5, n_planes: int = 4, n_tables: int = 4, seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """Exact SQL twin of the multi-table sign-LSH ANN query
+    (operators/similarity.py:lsh_topk): the hyperplanes are
+    deterministic (seeded rng) so they are embedded as literal double
+    arrays; bucket = sign-bit int, candidates = same-bucket join,
+    re-rank = exact cosine.  fp summation order differs at ~1e-16 —
+    absorbed by the e4 rounding."""
+    from ..operators.similarity import hyperplanes
+
+    bucket_selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(_dlit(v) for v in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(unit, {arr}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        bucket_selects.append(
+            f"SELECT vec_id, ({' + '.join(bits)}) * {n_tables} + {t} AS bucket FROM u"
+        )
+    buckets = "\n    UNION ALL\n    ".join(bucket_selects)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS unit
+  FROM v
+),
+b AS (
+    {buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id >= 10
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qu.unit, cu.unit) AS cos
+  FROM cand
+  JOIN u qu ON qu.vec_id = cand.query_id
+  JOIN u cu ON cu.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id,
+       cast(round(cos * 10000e0) as bigint) AS cos_e4
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
 def poly2_transform() -> str:
     from ..functions.geo import polynomial_predict_sql
     from .queries import POLY2_A

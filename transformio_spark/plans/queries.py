@@ -233,7 +233,8 @@ def q_embedding_knn_l2(spark, sf_dir) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    pairs = queries.join(F.broadcast(emb.where(F.col("vec_id") >= 10)))
+    # corpus is the big side at scale — broadcast the tiny query set
+    pairs = emb.where(F.col("vec_id") >= 10).join(F.broadcast(queries))
     d2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -386,9 +387,10 @@ def q_loo_residuals(spark, sf_dir) -> DataFrame:
 
 def q_minhash_pairs(spark, sf_dir) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over the documents corpus
-    (shingle→minhash→band→bucket-join→verify).  Deterministic (fixed
-    xxhash64 seeds) but not SQL-expressible → rows-only driver check;
-    the numpy oracle lives in tests/test_dedup_similarity.py."""
+    (shingle→minhash→band→bucket-join→verify).  DuckDB oracle =
+    brute-force exact-Jaccard pairs (oracles.minhash_pairs; valid
+    because LSH recall is exhaustively verified 100% on the gate
+    data); the numpy oracle lives in tests/test_dedup_similarity.py."""
     from ..operators import dedup
 
     docs = synth.raw_documents(spark, sf_dir).select(
@@ -430,9 +432,14 @@ def q_embedding_ann_lsh(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("query_id"), "unit"
     )
     corpus = emb.where(F.col("vec_id") >= 10)
-    out = similarity.lsh_topk(corpus, queries_df, k=5, n_planes=4, n_tables=4)
+    out = similarity.lsh_topk(
+        corpus, queries_df, k=5, n_planes=4, n_tables=4, dim=64
+    )
     return out.select(
-        "query_id", "rnk", F.col("nb_id").alias("neighbor_id"),
+        "query_id",
+        # long, to match DuckDB's row_number() (bigint) in the oracle
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("nb_id").alias("neighbor_id"),
         _e(F.col("cos"), 4).alias("cos_e4"),
     ).orderBy("query_id", "rnk")
 
