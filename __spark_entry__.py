@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pair_distance": _shipped(q.q_span_pair_distance),
         "vector_transform": _shipped(q.q_vector_transform),
         "poly2_transform": _shipped(q.q_poly2_transform),
+        "mercator_cells": _shipped(q.q_mercator_cells),
         "poly_roundtrip": _shipped(q.q_poly_roundtrip),
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
@@ -82,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "span_pair_distance": oracles.span_pair_distance(),
         "vector_transform": oracles.vector_transform(),
         "poly2_transform": oracles.poly2_transform(),
+        "mercator_cells": oracles.mercator_cells(),
         "quality_by_lang": oracles.quality_by_lang(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),

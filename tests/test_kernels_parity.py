@@ -379,3 +379,57 @@ def test_similarity_roundtrip():
     assert_array_almost_equal(py, v, decimal=8)
     ix, iy = trans.inverse().predict(u, v)
     assert_array_almost_equal(ix, x, decimal=8)
+
+
+# ---------------------------------------------------------------------------
+# MapProjection (SURVEY op 14, reference transforms.py:536-587) —
+# analytic spherical-Mercator backend, executable without pyproj
+# ---------------------------------------------------------------------------
+
+def test_mercator_forward_anchors():
+    """Public web-Mercator anchors: x(180°)=y(~85.051129°)=20037508.34..."""
+    m = k.MapProjection("EPSG:4326", "EPSG:3857")
+    px, py = m.predict([180.0, 0.0], [0.0, 85.05112877980659])
+    assert abs(px[0] - 20037508.342789244) < 1e-6
+    assert abs(py[0]) < 1e-9
+    assert abs(py[1] - 20037508.342789244) < 1e-4
+
+
+def test_mercator_roundtrip_and_inverse():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-84, 84, 500)
+    fwd = k.MapProjection("EPSG:4326", "EPSG:3857")
+    inv = fwd.inverse()
+    x, y = fwd.predict(lon, lat)
+    lon2, lat2 = inv.predict(x, y)
+    assert_array_almost_equal(lon2, lon, decimal=9)
+    assert_array_almost_equal(lat2, lat, decimal=9)
+
+
+def test_mercator_json_and_chain():
+    """Same JSON IR dict shape as the reference (transforms.py:558-567);
+    Chain composition through the registry."""
+    m = k.MapProjection("EPSG:4326", "EPSG:3857")
+    js = m.to_json()
+    assert js == {
+        "type": "MapProjection",
+        "params": {},
+        "data": {"fromcrs": "EPSG:4326", "tocrs": "EPSG:3857"},
+    }
+    m2 = k.from_json(json.loads(json.dumps(js)))
+    chain = k.Chain([m2, m2.inverse()])
+    cjs = k.from_json(chain.to_json())
+    px, py = cjs.predict([12.5, -33.0], [47.25, -8.5])
+    assert_array_almost_equal(px, [12.5, -33.0], decimal=9)
+    assert_array_almost_equal(py, [47.25, -8.5], decimal=9)
+
+
+def test_mercator_unknown_pair_requires_pyproj():
+    try:
+        import pyproj  # noqa: F401
+        pytest.skip("pyproj installed; fallback path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        k.MapProjection("EPSG:4326", "EPSG:32633")

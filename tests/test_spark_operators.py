@@ -141,3 +141,29 @@ def test_salted_equals_unsalted(spark, sf_dir):
     assert sorted((r.region_id, r["count"]) for r in a) == sorted(
         (r.region_id, r["count"]) for r in b
     )
+
+
+def test_mercator_column_twin_matches_udf_kernel(spark):
+    """functions/geo.mercator_forward (codegen path) must equal the
+    Chain(MapProjection) pandas-UDF kernel path to the last ulp-ish
+    (both are float64 spherical-Mercator; numpy vs JVM Math may differ
+    ~1 ulp, assert < 1e-6 m)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions import geo
+
+    rows = [(float(lon), float(lat)) for lon in range(-179, 180, 37)
+            for lat in range(-84, 85, 23)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    mx, my = geo.mercator_forward(F.col("lon"), F.col("lat"))
+    col_path = df.select("lon", "lat", mx.alias("cx"), my.alias("cy"))
+    model = k.Chain([k.MapProjection("EPSG:4326", "EPSG:3857")])
+    udf_path = udfs.with_transformed(
+        col_path, _json.dumps(model.to_json()),
+        x="lon", y="lat", out_x="ux", out_y="uy",
+    ).collect()
+    for r in udf_path:
+        assert abs(r.cx - r.ux) < 1e-6, r
+        assert abs(r.cy - r.uy) < 1e-6, r

@@ -72,6 +72,31 @@ def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
 
 
+# WGS84 semi-major axis — the EPSG:3857 sphere radius
+WEBMERC_R = 6378137.0
+
+
+def mercator_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 -> EPSG:3857 as pure Column arithmetic — the codegen
+    twin of kernels.transforms._SphericalMercator(forward=True)
+    (public spherical web-Mercator formulas)."""
+    x = F.lit(WEBMERC_R) * F.radians(lon)
+    y = F.lit(WEBMERC_R) * F.log(
+        F.tan(F.lit(3.141592653589793 / 4.0) + F.radians(lat) / 2)
+    )
+    return x, y
+
+
+def mercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 -> EPSG:4326 as pure Column arithmetic."""
+    lon = F.degrees(x / F.lit(WEBMERC_R))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(WEBMERC_R)))
+        - F.lit(3.141592653589793 / 2.0)
+    )
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # SQL text twins (for the DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -94,6 +119,20 @@ def _poly_terms_sql(order: int, x: str, y: str) -> list[str]:
             xx, xy, yy, x, y, "1e0",
         ]
     raise ValueError(order)
+
+
+def mercator_forward_sql(lon: str, lat: str) -> tuple[str, str]:
+    """SQL twin of mercator_forward — identical expression tree (same
+    double literals, so Spark and DuckDB evaluate the same fp ops)."""
+    x = f"(6378137.0e0 * radians({lon}))"
+    y = f"(6378137.0e0 * ln(tan(0.7853981633974483e0 + radians({lat}) / 2)))"
+    return x, y
+
+
+def mercator_inverse_sql(x: str, y: str) -> tuple[str, str]:
+    lon = f"degrees(({x}) / 6378137.0e0)"
+    lat = f"degrees(2.0e0 * atan(exp(({y}) / 6378137.0e0)) - 1.5707963267948966e0)"
+    return lon, lat
 
 
 def dlit_sql(c: float) -> str:

@@ -515,15 +515,57 @@ class Similarity(_BaseTransform):
         return Similarity(A=np.array(js["data"]["A"]), **js["params"])
 
 
+_WGS84_A = 6378137.0  # WGS84 semi-major axis (EPSG:3857 sphere radius)
+
+
+def _crs_code(crs) -> str | None:
+    """Normalize a CRS spec to 'EPSG:NNNN' when recognizable."""
+    s = str(crs).strip().upper()
+    if s.isdigit():
+        return f"EPSG:{s}"
+    if s.startswith("EPSG:"):
+        return s
+    return None
+
+
+class _SphericalMercator:
+    """Analytic EPSG:4326 <-> EPSG:3857 transformer (public spherical
+    web-Mercator formulas, EPSG guidance note 7-2 §3.5.2 / OGC
+    pseudo-Mercator).  Used as a numpy fallback backend when pyproj is
+    unavailable so MapProjection (reference transforms.py:536-587) is
+    executable everywhere.  Axis convention is always (x=lon, y=lat)."""
+
+    def __init__(self, forward: bool):
+        self.forward = forward
+
+    def transform(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.forward:  # lon/lat deg -> meters
+            px = _WGS84_A * np.radians(x)
+            py = _WGS84_A * np.log(np.tan(np.pi / 4.0 + np.radians(y) / 2.0))
+        else:  # meters -> lon/lat deg
+            px = np.degrees(x / _WGS84_A)
+            py = np.degrees(2.0 * np.arctan(np.exp(y / _WGS84_A)) - np.pi / 2.0)
+        return px, py
+
+
 @_register
 class MapProjection(_BaseTransform):
     """CRS-to-CRS analytic transform via pyproj/PROJ (reference
     transforms.py:536-587).  pyproj is imported lazily and is OPTIONAL
-    in this sandbox — constructing a MapProjection without pyproj
-    raises ImportError; all other models work without it.  Inside a
-    pandas UDF the Transformer is cached per-executor-process."""
+    in this sandbox — without pyproj, the EPSG:4326<->EPSG:3857 pair
+    falls back to the analytic spherical-Mercator backend above (same
+    JSON IR, so op 14 is executable and testable end-to-end); any
+    other CRS pair still raises ImportError.  Inside a pandas UDF the
+    Transformer is cached per-executor-process."""
 
     _transformer_cache: dict = {}
+
+    _ANALYTIC = {
+        ("EPSG:4326", "EPSG:3857"): lambda: _SphericalMercator(forward=True),
+        ("EPSG:3857", "EPSG:4326"): lambda: _SphericalMercator(forward=False),
+    }
 
     def __init__(self, fromcrs, tocrs):
         self.fromcrs = fromcrs
@@ -531,11 +573,26 @@ class MapProjection(_BaseTransform):
         self.minpoints = 0
         key = (fromcrs, tocrs)
         if key not in self._transformer_cache:
-            import pyproj  # optional dependency
+            try:
+                import pyproj  # optional dependency
 
-            self._transformer_cache[key] = pyproj.Transformer.from_crs(
-                fromcrs, tocrs
-            )
+                # axis order follows the CRS definition, exactly as the
+                # reference does (transforms.py:544); with the proj4
+                # strings the reference README uses this is x=lon,y=lat,
+                # which is also the analytic backend's convention
+                self._transformer_cache[key] = pyproj.Transformer.from_crs(
+                    fromcrs, tocrs
+                )
+            except ImportError:
+                pair = (_crs_code(fromcrs), _crs_code(tocrs))
+                maker = self._ANALYTIC.get(pair)
+                if maker is None:
+                    raise ImportError(
+                        "pyproj is required for CRS pair "
+                        f"{fromcrs!r}->{tocrs!r}; only the analytic "
+                        "EPSG:4326<->EPSG:3857 pair works without it"
+                    )
+                self._transformer_cache[key] = maker()
         self._transformer = self._transformer_cache[key]
 
     def _repr_body(self):

@@ -141,6 +141,28 @@ ORDER BY region_id, pt_seq
 """
 
 
+def mercator_cells() -> str:
+    """SQL twin of q_mercator_cells: same spherical web-Mercator
+    formula (functions/geo.py:mercator_forward_sql) over the shared
+    point derivation; numpy-vs-libm 1-ulp differences are absorbed by
+    the per-point meter rounding before the sum."""
+    from ..functions.geo import mercator_forward_sql
+
+    mx, my = mercator_forward_sql("lon", "lat")
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts)
+SELECT cast(floor(mx / 2000000.0e0) as bigint) AS cell_x,
+       cast(floor(my / 2000000.0e0) as bigint) AS cell_y,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

@@ -470,6 +470,42 @@ def q_poly2_transform(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mercator_cells(spark, sf_dir) -> DataFrame:
+    """MapProjection (SURVEY op 14, reference transforms.py:536-587)
+    end-to-end: extracted lon/lat points → EPSG:4326→3857 via the
+    JSON-IR Chain(MapProjection) pandas-UDF kernel path (analytic
+    spherical-Mercator backend — pyproj-free) → 2000-km web-mercator
+    cell counts with meter-rounded coordinate sums.  Per-point integer
+    rounding before the sum keeps the cross-engine hash ulp-safe."""
+    import json as _json
+
+    from ..kernels import Chain, MapProjection
+    from ..operators import udfs
+
+    pts = points_df(spark, sf_dir)
+    model = Chain([MapProjection("EPSG:4326", "EPSG:3857")])
+    out = udfs.with_transformed(
+        pts, _json.dumps(model.to_json()), x="lon", y="lat",
+        out_x="mx", out_y="my",
+    )
+    cell = 2_000_000.0
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
