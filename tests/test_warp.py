@@ -101,3 +101,86 @@ def test_tiled_warp_bitwise_matches_full(spark, out_tile):
     assembled = raster.tiles_to_image(out_tiles.collect(), size[0], size[1])
     assert affine_tiled == pytest.approx(affine_full)
     assert_array_equal(assembled, full)
+
+
+# ---------------------------------------------------------------------------
+# warp options: maxdim (imwarp.py:111-127) and fromcrs/tocrs
+# (imwarp.py:132-135)
+# ---------------------------------------------------------------------------
+
+def test_area_resize_dyadic_is_block_mean():
+    im = synth_image(64)
+    out = kwarp.area_resize(im, 32, 32)
+    blocks = im.reshape(32, 2, 32, 2, 4).astype(np.float64).mean(axis=(1, 3))
+    assert_array_equal(out, np.clip(np.around(blocks, 0), 0, 255).astype(np.uint8))
+
+
+def test_warp_maxdim_equals_manual_downsample():
+    """maxdim must equal: resize the source, prepend the 1/ratio
+    pixel-scale transform (reference big2small matrix), warp."""
+    im = synth_image(200)[:100]  # 200 wide, 100 tall
+    trans = k.Affine(A=[[0.5, 0, -20.0], [0, 0.5, 10.0], [0, 0, 1]])
+    got, aff_got = kwarp.warp(im, trans, maxdim=100)
+
+    small = kwarp.area_resize(im, 100, 50)
+    big2small = k.Polynomial(order=1, A=[[2.0, 0, 0], [0, 2.0, 0], [0, 0, 1]])
+    want, aff_want = kwarp.warp(small, k.Chain([big2small, trans]))
+    assert aff_got == aff_want
+    assert_array_equal(got, want)
+
+
+def test_warp_maxdim_noop_when_smaller():
+    im = synth_image(64)
+    trans = k.Affine(A=[[1.0, 0, 5.0], [0, 1.0, -3.0], [0, 0, 1]])
+    a, aff_a = kwarp.warp(im, trans)
+    b, aff_b = kwarp.warp(im, trans, maxdim=64)  # ratio == 1 → no-op
+    assert aff_a == aff_b
+    assert_array_equal(a, b)
+
+
+def test_warp_fromcrs_tocrs_appends_projection():
+    """fromcrs/tocrs must equal explicitly chaining the MapProjection,
+    and the output affine must be in web-mercator meters."""
+    im = synth_image(128)
+    img2geo = kwarp.fitbounds(128, 128, [-180, 85, 180, -85])
+    got, aff_got = kwarp.warp(
+        im, img2geo, fromcrs="EPSG:4326", tocrs="EPSG:3857"
+    )
+    merc = k.MapProjection("EPSG:4326", "EPSG:3857")
+    want, aff_want = kwarp.warp(im, k.Chain([img2geo, merc]))
+    assert aff_got == aff_want
+    assert_array_equal(got, want)
+    assert abs(aff_got[2] - (-20037508.342789244)) < 1.0  # xmin in meters
+    assert got[:, :, 3].max() == 255
+
+
+def test_resize_tiles_bitwise_matches_area_resize(spark):
+    from transformio_spark.operators import raster
+
+    im = synth_image(256, seed=5)
+    want = kwarp.area_resize(im, 128, 128)
+    tiles_df = raster.image_to_tiles(spark, im, tile=96)
+    out = raster.resize_tiles(spark, tiles_df, (256, 256), (128, 128), out_tile=50)
+    got = raster.tiles_to_image(out.collect(), 128, 128)
+    assert_array_equal(got, want)
+
+
+def test_warp_tiles_full_options_matches_kernel(spark):
+    """warp_tiles(maxdim + fromcrs/tocrs) must equal the single-array
+    kernel bit for bit (dyadic ratio → exact resize parity)."""
+    from transformio_spark.operators import raster
+
+    im = synth_image(256, seed=7)
+    img2geo = kwarp.fitbounds(256, 256, [-180, 85, 180, -85])
+    full, aff_full = kwarp.warp(
+        im, img2geo, maxdim=128, fromcrs="EPSG:4326", tocrs="EPSG:3857"
+    )
+    tiles_df = raster.image_to_tiles(spark, im, tile=96)
+    out_tiles, aff_tiled, (w, h) = raster.warp_tiles(
+        spark, tiles_df, (256, 256), img2geo,
+        maxdim=128, fromcrs="EPSG:4326", tocrs="EPSG:3857", out_tile=64,
+    )
+    assert aff_tiled == aff_full
+    assert (w, h) == (full.shape[1], full.shape[0])
+    assembled = raster.tiles_to_image(out_tiles.collect(), w, h)
+    assert_array_equal(assembled, full)

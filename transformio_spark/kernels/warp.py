@@ -32,9 +32,12 @@ import math
 
 import numpy as np
 
-from .transforms import Chain, Polynomial
+from .transforms import Chain, MapProjection, Polynomial
 
-__all__ = ["fitbounds", "imbounds", "warp", "as_chain"]
+__all__ = [
+    "fitbounds", "imbounds", "warp", "as_chain",
+    "area_resize", "prepare_chain", "output_geometry",
+]
 
 
 def fitbounds(width: int, height: int, bounds) -> Polynomial:
@@ -91,25 +94,90 @@ def as_chain(transform) -> Chain:
     return Chain(transforms=[transform])
 
 
-def _to_rgba(im: np.ndarray) -> tuple[np.ndarray, int]:
-    """Normalize (h,w), (h,w,3) or (h,w,4) uint8 input; returns the
-    array and its band count (mirrors imwarp.py:271-277 mode logic)."""
-    if im.ndim == 2:
-        im = np.stack([im, im, im], axis=-1)
-    if im.shape[2] not in (3, 4):
-        raise ValueError(f"unexpected band count: {im.shape[2]}")
-    return im, im.shape[2]
+def area_weights(n_src: int, n_out: int, out0: int = 0, out1: int | None = None):
+    """Row-stochastic box-integration weights for 1-D area-average
+    resampling: output cell i averages the source interval
+    [i*n/m, (i+1)*n/m).  ``out0:out1`` selects an output-row window
+    (for tiled evaluation against GLOBAL coordinates — weights are
+    identical to the full matrix's rows, so windowed resizes are
+    bit-consistent with the whole-image resize for dyadic ratios).
+    Returns (W of shape (out1-out0, j1-j0), j0, j1) where [j0, j1) is
+    the source span the window touches."""
+    if out1 is None:
+        out1 = n_out
+    scale = n_src / n_out
+    j0 = int(math.floor(out0 * scale))
+    j1 = min(int(math.ceil(out1 * scale)), n_src)
+    W = np.zeros((out1 - out0, j1 - j0))
+    for i in range(out0, out1):
+        a = i * scale
+        b = min((i + 1) * scale, n_src)
+        for j in range(int(math.floor(a)), min(int(math.ceil(b)), n_src)):
+            W[i - out0, j - j0] = min(b, j + 1) - max(a, j)
+        W[i - out0] /= (b - a)
+    return W, j0, j1
 
 
-def warp(im: np.ndarray, transform, resample: str = "nearest",
-         size=None, bounds=None):
-    """Backward-mapping nearest-neighbour warp (reference
-    imwarp.py:88-381 fast path).  ``im`` is a (h, w, 3|4) uint8 array;
-    returns (out_rgba (H, W, 4) uint8, affine6 list)."""
-    chain = as_chain(transform)
-    im, nbands = _to_rgba(np.asarray(im))
-    imh, imw = im.shape[:2]
+def area_resize(im: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Separable area-average downsample of a (h, w[, bands]) uint8
+    array, returned as uint8 (np.around, clipped).
 
+    DOCUMENTED DEVIATION: the reference resizes with
+    PIL.Image.ANTIALIAS (Lanczos, imwarp.py:119); PIL is unavailable
+    in this sandbox so pixel-level parity is untestable.  Area
+    averaging is the standard antialiased downsample (cv2 INTER_AREA);
+    the observable geometry (output dims, prepended scale transform,
+    output affine) matches the reference exactly."""
+    im = np.asarray(im)
+    squeeze = im.ndim == 2
+    if squeeze:
+        im = im[:, :, None]
+    h, w, b = im.shape
+    Wh, _, _ = area_weights(h, nh)
+    Ww, _, _ = area_weights(w, nw)
+    tmp = Wh @ im.reshape(h, w * b).astype(np.float64)  # (nh, w*b)
+    tmp = tmp.reshape(nh, w, b).transpose(1, 0, 2).reshape(w, nh * b)
+    out = (Ww @ tmp).reshape(nw, nh, b).transpose(1, 0, 2)
+    out = np.clip(np.around(out, 0), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def prepare_chain(chain: Chain, src_size, maxdim=None, fromcrs=None,
+                  tocrs=None) -> tuple[Chain, tuple[int, int], float]:
+    """Driver-side warp planning shared by the single-array kernel and
+    the distributed tiled warp: applies the reference's ``maxdim``
+    downsample-prepend (imwarp.py:111-127) and ``fromcrs``/``tocrs``
+    MapProjection append (imwarp.py:132-135) to a COPY of the chain.
+    Returns (chain, effective_src_size, ratio); ratio < 1 means the
+    caller must resize the source image/tiles to effective_src_size
+    before warping."""
+    chain = chain.copy()
+    imw, imh = src_size
+    ratio = 1.0
+    if maxdim:
+        longest = max(imw, imh)
+        r = maxdim / float(longest)
+        if r < 1:
+            ratio = r
+            imw, imh = int(imw * r), int(imh * r)
+            # prepend small->big pixel scale, exactly the reference's
+            # big2small naming/matrix (imwarp.py:120-126)
+            big2small = Polynomial(
+                order=1, A=[[1 / r, 0, 0], [0, 1 / r, 0], [0, 0, 1]]
+            )
+            chain.transforms.insert(0, big2small)
+    if fromcrs and tocrs:
+        chain.add(MapProjection(fromcrs=fromcrs, tocrs=tocrs))
+    return chain, (imw, imh), ratio
+
+
+def output_geometry(src_size, chain, size=None, bounds=None):
+    """Output affine + dims exactly as the reference derives them
+    (imwarp.py:141-177): user bounds or imbounds; user size or the
+    diagonal-preserving heuristic; unconditional y-flip.  Shared by
+    the single-array kernel and the distributed tiled warp so both
+    produce bit-identical pixel centers."""
+    imw, imh = src_size
     if bounds:
         xmin, ymin, xmax, ymax = bounds
     else:
@@ -130,7 +198,39 @@ def warp(im: np.ndarray, transform, resample: str = "nearest",
     xoff, yoff = xmin, ymin
     yoff = ymax
     yscale = -abs(yscale) if yscale > 0 else yscale
-    affine = [xscale, 0, xoff, 0, yscale, yoff]
+    return [xscale, 0, xoff, 0, yscale, yoff], (w, h)
+
+
+def _to_rgba(im: np.ndarray) -> tuple[np.ndarray, int]:
+    """Normalize (h,w), (h,w,3) or (h,w,4) uint8 input; returns the
+    array and its band count (mirrors imwarp.py:271-277 mode logic)."""
+    if im.ndim == 2:
+        im = np.stack([im, im, im], axis=-1)
+    if im.shape[2] not in (3, 4):
+        raise ValueError(f"unexpected band count: {im.shape[2]}")
+    return im, im.shape[2]
+
+
+def warp(im: np.ndarray, transform, resample: str = "nearest",
+         size=None, bounds=None, maxdim=None, fromcrs=None, tocrs=None):
+    """Backward-mapping nearest-neighbour warp (reference
+    imwarp.py:88-381 fast path).  ``im`` is a (h, w, 3|4) uint8 array;
+    returns (out_rgba (H, W, 4) uint8, affine6 list).
+
+    ``maxdim`` downsamples the source first and prepends the inverse
+    pixel scale to the chain (imwarp.py:111-127); ``fromcrs``/``tocrs``
+    appends a MapProjection reprojection step (imwarp.py:132-135)."""
+    chain = as_chain(transform)
+    im, nbands = _to_rgba(np.asarray(im))
+    imh, imw = im.shape[:2]
+    chain, (imw, imh), ratio = prepare_chain(
+        chain, (imw, imh), maxdim=maxdim, fromcrs=fromcrs, tocrs=tocrs
+    )
+    if ratio < 1:
+        im = area_resize(im, imw, imh)
+
+    affine, (w, h) = output_geometry((imw, imh), chain, size=size, bounds=bounds)
+    xscale, _, xoff, _, yscale, yoff = affine
 
     if resample != "nearest":
         raise ValueError(f"Unknown resample arg: {resample}")

@@ -218,6 +218,120 @@ def warp_tiled(
     return out_tiles, affine
 
 
+def resize_tiles(
+    spark: SparkSession,
+    src_tiles: DataFrame,
+    src_size: tuple[int, int],
+    out_size: tuple[int, int],
+    out_tile: int = 256,
+    nbands: int = 4,
+) -> DataFrame:
+    """Distributed area-average downsample (the tiled twin of
+    kernels.warp.area_resize, used for the warp ``maxdim`` option at
+    scale).  Each output tile computes its windowed row/col weight
+    matrices against GLOBAL source coordinates (kernels.warp.
+    area_weights), interval-joins only the source tiles covering its
+    source span, mosaics them, and applies Wr @ mosaic @ Wc^T per
+    band.  For dyadic ratios the result is bit-equal to the
+    whole-image area_resize (weights are exactly representable);
+    tested in tests/test_warp.py."""
+    from ..kernels.warp import area_weights
+
+    imw, imh = src_size
+    nw, nh = out_size
+    grid = []
+    for (otx, oty, ocol0, orow0, ow, oh) in _out_grid(nw, nh, out_tile):
+        _, jc0, jc1 = area_weights(imw, nw, ocol0, ocol0 + ow)
+        _, jr0, jr1 = area_weights(imh, nh, orow0, orow0 + oh)
+        grid.append((otx, oty, jc0, jc1 - 1, jr0, jr1 - 1))
+    grid_df = spark.createDataFrame(
+        grid, "otx int, oty int, cmin int, cmax int, rmin int, rmax int"
+    )
+    st = src_tiles.select("col0", "row0", "w", "h", "px")
+    cond = (
+        (st.col0 <= F.col("cmax"))
+        & (st.col0 + st.w - 1 >= F.col("cmin"))
+        & (st.row0 <= F.col("rmax"))
+        & (st.row0 + st.h - 1 >= F.col("rmin"))
+    )
+    matched = grid_df.join(st, on=cond, how="left")
+    meta = {g[0:2]: g for g in _out_grid(nw, nh, out_tile)}
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = key
+        _, _, ocol0, orow0, ow, oh = meta[(otx, oty)]
+        Wc, jc0, jc1 = area_weights(imw, nw, ocol0, ocol0 + ow)
+        Wr, jr0, jr1 = area_weights(imh, nh, orow0, orow0 + oh)
+        mosaic = np.zeros((jr1 - jr0, jc1 - jc0, nbands), dtype=np.uint8)
+        for srow in pdf.itertuples():
+            if srow.px is None:
+                continue
+            block = np.frombuffer(bytes(srow.px), dtype=np.uint8).reshape(
+                (srow.h, srow.w, nbands)
+            )
+            ic0, ic1 = max(srow.col0, jc0), min(srow.col0 + srow.w, jc1)
+            ir0, ir1 = max(srow.row0, jr0), min(srow.row0 + srow.h, jr1)
+            if ic1 <= ic0 or ir1 <= ir0:
+                continue
+            mosaic[ir0 - jr0:ir1 - jr0, ic0 - jc0:ic1 - jc0] = block[
+                ir0 - srow.row0:ir1 - srow.row0, ic0 - srow.col0:ic1 - srow.col0
+            ]
+        h_, w_ = mosaic.shape[:2]
+        tmp = Wr @ mosaic.reshape(h_, w_ * nbands).astype(np.float64)
+        tmp = tmp.reshape(oh, w_, nbands).transpose(1, 0, 2).reshape(w_, oh * nbands)
+        out = (Wc @ tmp).reshape(ow, oh, nbands).transpose(1, 0, 2)
+        out = np.clip(np.around(out, 0), 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "tile_x": [otx], "tile_y": [oty],
+                "col0": [ocol0], "row0": [orow0],
+                "w": [ow], "h": [oh],
+                "px": [bytearray(out.tobytes())],
+            }
+        )
+
+    return matched.groupBy("otx", "oty").applyInPandas(render, TILE_SCHEMA)
+
+
+def warp_tiles(
+    spark: SparkSession,
+    src_tiles: DataFrame,
+    src_size: tuple[int, int],
+    transform,
+    size=None,
+    bounds=None,
+    maxdim=None,
+    fromcrs=None,
+    tocrs=None,
+    out_tile: int = 256,
+    nbands: int = 4,
+) -> tuple[DataFrame, list, tuple[int, int]]:
+    """Full-option distributed warp — the tiled twin of kernels.warp
+    with the same signature semantics (maxdim downsample-prepend,
+    imwarp.py:111-127; fromcrs/tocrs MapProjection append,
+    imwarp.py:132-135).  Plans the chain/affine/size on the driver
+    with the shared kernels.warp helpers, resizes the tile table
+    distributedly when maxdim bites, then runs warp_tiled.  Returns
+    (out_tiles_df, affine6, (w, h))."""
+    from ..kernels.warp import as_chain, output_geometry, prepare_chain
+
+    chain, eff_size, ratio = prepare_chain(
+        as_chain(transform), src_size, maxdim=maxdim, fromcrs=fromcrs,
+        tocrs=tocrs,
+    )
+    if ratio < 1:
+        src_tiles = resize_tiles(
+            spark, src_tiles, src_size, eff_size, out_tile=out_tile,
+            nbands=nbands,
+        )
+    affine, out_size = output_geometry(eff_size, chain, size=size, bounds=bounds)
+    out_tiles, _ = warp_tiled(
+        spark, src_tiles, eff_size, json.dumps(chain.to_json()), affine,
+        out_size, out_tile=out_tile, nbands=nbands,
+    )
+    return out_tiles, affine, out_size
+
+
 def tiles_to_image(rows, width: int, height: int) -> np.ndarray:
     """Reassemble collected tile rows into one (h, w, 4) array."""
     out = np.zeros((height, width, 4), dtype=np.uint8)
