@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_join_bcast": _shipped(q.q_region_join_bcast),
         "region_join_salted": _shipped(q.q_region_join_salted),
         "pip_triangle": _shipped(q.q_pip_triangle),
+        "pip_polygon": _shipped(q.q_pip_polygon),
         "knn_city_assign": _shipped(q.q_knn_city_assign),
         "hotspot_share": _shipped(q.q_hotspot_share),
         "affine_fit": _shipped(q.q_affine_fit),
@@ -77,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "region_join_bcast": oracles.region_join_counts(),
         "region_join_salted": oracles.region_join_counts(),
         "pip_triangle": oracles.pip_triangle_counts(),
+        "pip_polygon": oracles.pip_polygon_counts(),
         "knn_city_assign": oracles.knn_counts(),
         "hotspot_share": oracles.hotspot_share(),
         "affine_fit": oracles.affine_fit(),

@@ -96,3 +96,9 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     assert "query_id" in m.group(1), m.group(1)
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_pip_polygon_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(q.q_pip_polygon(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -167,3 +167,50 @@ def test_mercator_column_twin_matches_udf_kernel(spark):
     for r in udf_path:
         assert abs(r.cx - r.ux) < 1e-6, r
         assert abs(r.cy - r.uy) < 1e-6, r
+
+
+def test_ray_cast_matches_numpy_reference(spark):
+    """The Column-expression even-odd ray-cast must agree with an
+    independent numpy crossing-count implementation on random lattice
+    points INCLUDING points sharing y with vertices and points on
+    edges (the half-open straddle rule must match)."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.operators import spatial_join
+
+    ring = [(600000, 600000), (6600000, 600000), (6600000, 2800000),
+            (3600000, 1400000), (600000, 2800000), (600000, 600000)]
+
+    def np_inside(px, py):
+        cross = 0
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if (y1 > py) != (y2 > py):
+                t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (y2 > y1 and t > 0) or (y2 < y1 and t < 0):
+                    cross += 1
+        return cross % 2 == 1
+
+    rng = np.random.default_rng(17)
+    pts = [(int(x), int(y)) for x, y in zip(
+        rng.integers(0, 7_500_000, 400), rng.integers(0, 3_500_000, 400)
+    )]
+    # adversarial: vertex-aligned y values, on-edge and vertex points
+    pts += [(3_600_000, 1_400_000), (600_000, 600_000), (1_000_000, 600_000),
+            (3_000_000, 600_000), (6_700_000, 2_800_000), (0, 600_000),
+            (3_600_000, 600_000), (2_100_000, 1_700_000)]
+    df = spark.createDataFrame(pts, "px long, py long")
+    ring_col = F.array(*[
+        F.struct(F.lit(x).cast("long").alias("x"), F.lit(y).cast("long").alias("y"))
+        for x, y in ring
+    ])
+    got = df.select(
+        "px", "py",
+        spatial_join.ray_cast_inside(ring_col, F.col("px"), F.col("py")).alias("inside"),
+    ).collect()
+    assert len(got) == len(pts)
+    n_in = 0
+    for r in got:
+        want = np_inside(r.px, r.py)
+        assert r.inside == want, (r.px, r.py)
+        n_in += want
+    assert 0 < n_in < len(pts)  # non-degenerate

@@ -33,6 +33,10 @@ def pip_triangle_counts() -> str:
     return geo_oracle.pip_triangle_counts_sql()
 
 
+def pip_polygon_counts() -> str:
+    return geo_oracle.pip_polygon_counts_sql()
+
+
 def knn_counts() -> str:
     return geo_oracle.knn_counts_sql()
 

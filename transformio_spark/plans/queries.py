@@ -117,6 +117,27 @@ def q_pip_triangle(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pip_polygon(spark, sf_dir) -> DataFrame:
+    """Arbitrary-ring point-in-polygon (SURVEY §2.6 N3 completed):
+    concave per-nation lattice polygons, even-odd ray-cast refine
+    behind the same coarse-cell broadcast hash join as the box and
+    triangle paths."""
+    pts = points_df(spark, sf_dir)
+    polys = synth.region_polygons(spark, sf_dir)
+    joined = spatial_join.point_in_polygon_join(
+        pts, polys,
+        point_key=_grid_key_from_coords,
+        # polygons are strictly inside their 72x34 box -> the coarse
+        # 5x5 grid cell IS the region id
+        poly_key=lambda df: F.col("region_id").cast("long"),
+    )
+    return (
+        joined.groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("region_id")
+    )
+
+
 def q_knn_city_assign(spark, sf_dir) -> DataFrame:
     pts = points_df(spark, sf_dir)
     centers = synth.knn_centers(spark)

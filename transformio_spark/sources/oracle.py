@@ -118,6 +118,44 @@ ORDER BY 1
 """
 
 
+def pip_polygon_counts_sql() -> str:
+    """Even-odd ray-cast PIP against the concave per-nation polygons —
+    the exact integer crossing test mirrored from
+    operators/spatial_join.ray_cast_inside, unrolled over the ring's 5
+    edges (synthspec.POLYGON_OFFSETS)."""
+    px = _E5.format(c="p.lon")
+    py = _E5.format(c="p.lat")
+    verts = [
+        (f"g.vx{i}", f"g.vy{i}")
+        for i in range(len(synthspec.POLYGON_OFFSETS) - 1)
+    ]
+    vert_cols = ", ".join(
+        f"cast((lon_min + {dx}.0) * 100000 as bigint) AS vx{i}, "
+        f"cast((lat_min + {dy}.0) * 100000 as bigint) AS vy{i}"
+        for i, (dx, dy) in enumerate(synthspec.POLYGON_OFFSETS[:-1])
+    )
+    crossings = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        t = f"(({x2}-{x1})*(({py})-{y1}) - (({px})-{x1})*({y2}-{y1}))"
+        crossings.append(
+            f"(CASE WHEN (({y1} > ({py})) != ({y2} > ({py})))"
+            f" AND ((({y2} > {y1}) AND {t} > 0)"
+            f"   OR (({y2} < {y1}) AND {t} < 0)) THEN 1 ELSE 0 END)"
+        )
+    total = " + ".join(crossings)
+    return f"""
+WITH {points_cte()}, {boxes_cte()},
+polys AS (SELECT region_id, {vert_cols} FROM boxes)
+SELECT g.region_id AS region_id, count(*) AS n_points
+FROM pts p JOIN polys g ON (({total}) % 2) = 1
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def knn_counts_sql() -> str:
     # doc_num is NOT unique (duplicate lineitem keys) — dedupe to
     # distinct points with multiplicity, rank per distinct point,

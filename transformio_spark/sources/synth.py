@@ -161,6 +161,24 @@ def region_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def region_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One concave polygon per nation, strictly inside its box — the
+    arbitrary-ring point-in-polygon operator's region table (SURVEY
+    §2.6 N3 completion beyond boxes/triangles).
+
+    ``ring`` is a CLOSED array<struct<x:bigint, y:bigint>> of integer
+    1e-5-lattice vertices, so the even-odd ray-cast is exact integer
+    arithmetic in both Spark and the DuckDB oracle."""
+    pts = ", ".join(
+        f"named_struct('x', cast((lon_min + {dx}.0) * 100000 as bigint), "
+        f"'y', cast((lat_min + {dy}.0) * 100000 as bigint))"
+        for dx, dy in synthspec.POLYGON_OFFSETS
+    )
+    return region_boxes(spark, sf_dir).selectExpr(
+        "region_id", "region_name", f"array({pts}) AS ring"
+    )
+
+
 def knn_centers(spark: SparkSession) -> DataFrame:
     """The 10 hotspot city centers as a broadcastable center table
     for kNN control-point matching."""

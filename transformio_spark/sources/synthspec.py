@@ -50,6 +50,13 @@ ZIPF_MOD = 997
 PX_EVERY_MOD = 10      # doc_id % 10 in {3,6,9} → px payload (30%)
 PX_REMAINDERS = (3, 6, 9)
 
+# (dlon, dlat) vertex offsets from (lon_min, lat_min) of the concave
+# per-nation test polygon — CLOSED ring, e5-lattice vertices.  The
+# notch at (+36, +14) between the two +28 top corners makes it
+# genuinely non-convex, so the even-odd ray-cast (not a convex sign
+# test) is required.
+POLYGON_OFFSETS = [(6, 6), (66, 6), (66, 28), (36, 14), (6, 28), (6, 6)]
+
 # 10 city centers, exactly 4 decimals (stay on the coordinate grid)
 CITIES = [
     (139.6917, 35.6895),   # Tokyo
