@@ -165,3 +165,13 @@ def test_multimodal_unknown_kind_errors_per_row(spark):
     rows = multimodal.extract_features(media).collect()
     assert len(rows) == 1 and not rows[0].ok
     assert "no decoder" in rows[0].err
+
+
+def test_minhash_salted_equals_unsalted(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plain = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    salted = dedup.minhash_lsh_pairs(docs, threshold=0.5, n_salt=8).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    assert len(plain) > 0

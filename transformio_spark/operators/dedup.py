@@ -113,10 +113,17 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    n_salt: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → minhash → LSH bands → bucket
     self-join → exact-Jaccard verify.  Returns (id_a, id_b,
-    jaccard_e6) with id_a < id_b and jaccard >= threshold."""
+    jaccard_e6) with id_a < id_b and jaccard >= threshold.
+
+    ``n_salt`` > 1 splinters hot buckets (boilerplate text at 10^12
+    rows makes a single (band, hash) key enormous): the left side gets
+    salt = pmod(xxhash64(id), n_salt), the right side replicates per
+    salt, and the join adds salt to the key — same pair set (asserted
+    in tests), n_salt-way task split of the hottest bucket."""
     rows_per_band = n_hashes // bands
     sig = docs.select(
         F.col(id_col).alias("id"),
@@ -144,8 +151,17 @@ def minhash_lsh_pairs(
         F.col("band_idx"), F.col("band_hash"),
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
     )
+    join_keys = ["band_idx", "band_hash"]
+    if n_salt and n_salt > 1:
+        left = left.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_salt))
+        )
+        right = right.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1)))
+        )
+        join_keys = join_keys + ["salt"]
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
+        left.join(right, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])

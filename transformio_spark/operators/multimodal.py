@@ -85,11 +85,18 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                 "media_id": [], "kind": [], "ok": [], "err": [],
                 "feature": [], "decoded_shape": [],
             }
-            for _, row in pdf.iterrows():
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
+            # decode is inherently per-blob, but iterate raw column
+            # arrays — pdf.iterrows() builds a pandas Series per row
+            # (~100x slower batch overhead once a real decoder lands)
+            cols = (
+                pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(), pdf["meta"].to_numpy(),
+            )
+            for media_id, kind, payload, meta in zip(*cols):
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
                 try:
-                    arr = _decode_stub(row["kind"], bytes(row["payload"]), row["meta"])
+                    arr = _decode_stub(kind, bytes(payload), meta)
                     flat = arr.astype(np.float64).ravel()
                     pooled = np.resize(flat, (feature_dim, max(flat.size // feature_dim, 1))).mean(axis=1)
                     out["ok"].append(True)

@@ -20,7 +20,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import ParquetSnapshotCatalog
@@ -128,10 +128,16 @@ class TileSweepPipeline:
                 raise RuntimeError(f"injected failure before {unit_key}")
             t0 = time.perf_counter()
             sl = source.where((F.col(tile_col) >= lo) & (F.col(tile_col) < hi))
-            out = transform(sl)
-            n_in = sl.count()
-            n_out = out.count()
+            # observe() piggybacks both row counts on the single write
+            # job — previously this ran sl.count() + out.count() +
+            # write = three jobs per unit (input scanned thrice)
+            obs_in = Observation(f"in-{unit_key}")
+            obs_out = Observation(f"out-{unit_key}")
+            sl = sl.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            out = transform(sl).observe(obs_out, F.count(F.lit(1)).alias("n"))
             self.catalog.write(out, out_table, mode="append")
+            n_in = obs_in.get["n"]
+            n_out = obs_out.get["n"]
             self.lineage.record(
                 run_id=self.run_id,
                 stage=stage,

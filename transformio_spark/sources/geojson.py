@@ -101,12 +101,14 @@ def to_feature_json(nested: DataFrame, geom_type_map: dict[str, str]) -> DataFra
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"geom_id": [], "feature_json": []}
-            for _, row in pdf.iterrows():
-                gid = row["geom_id"]
+            # raw column arrays, not pdf.iterrows() (Series-per-row)
+            for gid, row_parts in zip(
+                pdf["geom_id"].to_numpy(), pdf["parts"].to_numpy()
+            ):
                 gtype = geom_type_map[gid]
                 parts = [
                     [[[p["x"], p["y"]] for p in ring] for ring in part]
-                    for part in row["parts"]
+                    for part in row_parts
                 ]
                 if gtype == "Point":
                     coords = parts[0][0][0]

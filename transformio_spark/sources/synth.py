@@ -48,13 +48,17 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The local testdata is a single-row-group parquet file → one scan
     # split; without an explicit repartition every downstream narrow
     # op would run on ONE task regardless of core count.  On a real
-    # cluster the Iceberg scan yields many splits and this exchange
-    # would be unnecessary — it stays here because it is also the
-    # deterministic doc_num-hash layout later stages key on.
+    # cluster the Iceberg scan yields many splits and the exchange
+    # would be pure waste — so it is CONDITIONAL on the actual scan
+    # parallelism (driver-side plan inspection, no job).  Results are
+    # partitioning-independent either way.
     par = spark.sparkContext.defaultParallelism * 2
-    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+    scan = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         f"{DOC_NUM_SQL} AS doc_num",
-    ).repartition(par, "doc_num").selectExpr(
+    )
+    if scan.rdd.getNumPartitions() < par:
+        scan = scan.repartition(par, "doc_num")
+    base = scan.selectExpr(
         "doc_num",
         "concat(md5(cast(doc_num as string)), "
         "md5(cast(doc_num + 1 as string)), "
