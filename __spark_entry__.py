@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
         "quality_by_lang": _shipped(q.q_quality_by_lang),
+        "token_stats": _shipped(q.q_token_stats),
         "lang_id_counts": _shipped(q.q_lang_id_counts),
         "auto_choose_model": _shipped(q.q_auto_choose_model),
         "dedup_exact": _shipped(q.q_dedup_exact),
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _shipped(q.q_media_features),
         "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
+        "embedding_neardup_pairs": _shipped(q.q_embedding_neardup_pairs),
         "pricing_summary": _shipped(q.q_pricing_summary),
         "revenue_by_nation": _shipped(q.q_revenue_by_nation),
         "events_by_type": _shipped(q.q_events_by_type),
@@ -87,11 +89,13 @@ def oracle_sql() -> dict[str, str]:
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
         "quality_by_lang": oracles.quality_by_lang(),
+        "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),
         "minhash_pairs": oracles.minhash_pairs(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),
+        "embedding_neardup_pairs": oracles.embedding_neardup_pairs(),
         "pricing_summary": oracles.pricing_summary(),
         "revenue_by_nation": oracles.revenue_by_nation(),
         "events_by_type": oracles.events_by_type(),

@@ -56,3 +56,58 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 10
+
+
+def test_stateful_dedup_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedup: state (keeper, count) must
+    persist across micro-batches via the checkpoint — two separate
+    availableNow runs over a growing directory, second run's emitted
+    counts include the first run's rows."""
+    import os
+
+    from transformio_spark.streaming import streaming_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # batch 2 re-ingests batch 1's texts under suffixed ids, so every
+    # state key is hit from both micro-batches
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    docs_dir = str(tmp_path / "docs_stream_dedup")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    half_a.write.mode("overwrite").parquet(os.path.join(docs_dir, "b0"))
+    stored_schema = spark.read.parquet(os.path.join(docs_dir, "b0")).schema
+
+    def run_once(qname):
+        # foreachBatch (not memory sink): supports checkpoint recovery
+        collected = []
+
+        def sink(df, _epoch):
+            collected.extend(df.collect())
+
+        out = streaming_exact_dedup(spark, docs_dir + "/*", stored_schema)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.fp: (r.keeper, r.group_size) for r in collected}
+
+    first = run_once("dedup_s1")
+    n_a = half_a.count()
+    assert sum(v[1] for v in first.values()) == n_a
+    # batch 2: the SAME rows re-ingested with shifted ids (dup texts)
+    half_a.withColumn(
+        "doc_id", F.concat(F.lit("z"), F.col("doc_id"))
+    ).write.mode("overwrite").parquet(os.path.join(docs_dir, "b1"))
+    second = run_once("dedup_s2")
+    # every fp re-emitted with cumulative count 2x and the ORIGINAL
+    # keeper (ids starting with digits sort before 'z...')
+    assert len(second) == len(first)
+    for fp, (keeper, cnt) in second.items():
+        k1, c1 = first[fp]
+        assert cnt == 2 * c1
+        assert keeper == k1

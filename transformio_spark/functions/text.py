@@ -95,6 +95,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
+# GPT-2-style pre-tokenizer approximation: letter runs, digit runs,
+# punctuation runs, optionally space-prefixed — the standard BPE
+# pre-split shape as one regexp (kept RE2-safe: no backrefs or
+# lookaround, so Spark's Java regex and DuckDB's RE2 agree).
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the
+    cheap JVM-side proxy for 'how many tokens will the tokenizer
+    emit' over a trillion-doc corpus."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+# cyclic-base polynomial fingerprint: h = Σ ascii(c_i)·31^(i mod 8).
+# Rabin-Karp-style rolling hash with a period-8 base so every product
+# stays exact in int64 in BOTH engines (255·31^7·|text| < 2^63) —
+# no mod-mul needed, cross-engine bit-exact.
+ROLL_POWERS = [31 ** k for k in range(8)]
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    powers = F.array(*[F.lit(p).cast("long") for p in ROLL_POWERS])
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.ascii(text.substr(i, F.lit(1))).cast("long")
+        * F.element_at(powers, (i - 1) % 8 + 1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL twins
 # ---------------------------------------------------------------------------
@@ -133,6 +165,22 @@ def quality_score_sql(text: str) -> str:
 
 def fingerprint_sql(text: str) -> str:
     return f"md5(lower(trim({text})))"
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return (
+        f"cast(len(regexp_extract_all({text}, "
+        f"' ?[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9 ]+')) as bigint)"
+    )
+
+
+def rolling_fingerprint_sql(text: str) -> str:
+    powers = "[" + ", ".join(str(p) for p in ROLL_POWERS) + "]"
+    return (
+        f"coalesce(cast(list_sum(list_transform(range(1, length({text}) + 1), "
+        f"i -> cast(ascii(substring({text}, i, 1)) as bigint) "
+        f"* ({powers}[((i - 1) % 8) + 1]))) as bigint), 0)"
+    )
 
 
 def lang_id_sql(text: str) -> str:

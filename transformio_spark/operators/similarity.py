@@ -76,6 +76,59 @@ def lsh_bucket(unit_col, planes: list[list[float]]):
     return bucket
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int = 2,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding analog of
+    minhash_lsh_pairs: sign-LSH bucket self-join for candidates, exact
+    cosine verify, (id_a < id_b, cos_e6) output.
+
+    Recall dial: collision prob per table is (1 - acos(c)/pi)^n_planes
+    — few planes + many tables pushes recall -> 1 for c >= threshold
+    while same-bucket candidates (not all pairs) bound the join size.
+    At 10^12 rows a hot bucket splits exactly like the minhash join
+    (salt the self-join if needed)."""
+    if dim is None:
+        raise ValueError("cosine_neardup_pairs requires dim=")
+    keys = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        keys.append(
+            (lsh_bucket(F.col("unit"), planes) * n_tables + t).alias(f"b{t}")
+        )
+    b = emb.select(
+        F.col(id_col).alias("id"), "unit", *keys
+    ).withColumn(
+        "bucket", F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
+    ).select("id", "unit", "bucket")
+    left = b.select(
+        F.col("bucket"), F.col("id").alias("id_a"), F.col("unit").alias("u_a")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("id").alias("id_b"), F.col("unit").alias("u_b")
+    )
+    cand = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("u_a"), F.col("u_b"))
+    return (
+        cand.withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("cos") * 1e6, 0).cast("long").alias("cos_e6"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

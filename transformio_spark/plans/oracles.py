@@ -180,6 +180,24 @@ ORDER BY lang
 """
 
 
+def token_stats() -> str:
+    from ..functions.text import bpe_token_count_sql, rolling_fingerprint_sql
+
+    bpe = bpe_token_count_sql("text")
+    fp = rolling_fingerprint_sql("text")
+    return f"""
+WITH d AS (SELECT lang, {bpe} AS bpe, {fp} AS fp FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(bpe) as bigint) AS sum_bpe_tokens,
+       count(distinct fp) AS n_fingerprints,
+       max(fp) AS max_fp
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def dedup_exact() -> str:
     return f"""
 WITH groups AS (
@@ -317,6 +335,28 @@ SELECT query_id, rnk, neighbor_id,
        cast(round(cos * 10000e0) as bigint) AS cos_e4
 FROM ranked WHERE rnk <= {k}
 ORDER BY query_id, rnk
+"""
+
+
+def embedding_neardup_pairs(threshold: float = 0.40) -> str:
+    """Brute-force exact-cosine oracle for the LSH near-dup query —
+    valid because LSH recall is verified 100% on the gate data (see
+    q_embedding_neardup_pairs docstring)."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS unit
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       cast(round(list_dot_product(a.unit, b.unit) * 1000000e0) as bigint) AS cos_e6
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.unit, b.unit) >= {threshold!r}
+ORDER BY 1, 2
 """
 
 

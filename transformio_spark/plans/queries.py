@@ -229,6 +229,26 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_token_stats(spark, sf_dir) -> DataFrame:
+    """BPE-ish regex token counting + rolling-hash document
+    fingerprints (training-data text analysis): per-lang token sums
+    and distinct-fingerprint counts, all JVM-side Column arithmetic
+    with exact integer cross-engine semantics."""
+    docs = synth.raw_documents(spark, sf_dir)
+    t = F.col("text")
+    fp = text.rolling_fingerprint(t)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.bpe_token_count(t)).alias("sum_bpe_tokens"),
+            F.count_distinct(fp).alias("n_fingerprints"),
+            F.max(fp).alias("max_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
     docs = synth.raw_documents(spark, sf_dir)
     fp = docs.select(text.fingerprint(F.col("text")).alias("fp"))
@@ -418,6 +438,22 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sign-LSH candidates + exact
+    verify).  Oracle = brute-force all pairs with cos >= 0.40 — valid
+    because LSH recall is exhaustively verified 100% on the gate data
+    (66 pairs at sf0.001, 59 at sf0.01; collision prob per pair
+    1-(1-(1-acos(c)/pi)^2)^16 > 0.999 at c=0.40)."""
+    from ..operators import similarity
+
+    emb = similarity.with_unit_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    return similarity.cosine_neardup_pairs(emb, 0.40, dim=64).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:

@@ -1,1 +1,1 @@
-from .stream import streaming_tile_counts  # noqa: F401
+from .stream import streaming_exact_dedup, streaming_tile_counts  # noqa: F401
