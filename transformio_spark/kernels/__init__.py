@@ -16,4 +16,4 @@ from .transforms import (  # noqa: F401
     TIN,
     from_json,
 )
-from . import accuracy, vector  # noqa: F401
+from . import accuracy, draw, vector  # noqa: F401

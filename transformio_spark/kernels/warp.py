@@ -36,7 +36,7 @@ from .transforms import Chain, MapProjection, Polynomial
 
 __all__ = [
     "fitbounds", "imbounds", "warp", "as_chain",
-    "area_resize", "prepare_chain", "output_geometry",
+    "area_resize", "prepare_chain", "output_geometry", "load_image",
 ]
 
 
@@ -201,6 +201,61 @@ def output_geometry(src_size, chain, size=None, bounds=None):
     return [xscale, 0, xoff, 0, yscale, yoff], (w, h)
 
 
+def _parse_pnm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) decoder — public Netpbm format,
+    pure python (no codec libs in this sandbox)."""
+    tokens = []
+    i = 0
+    while len(tokens) < 4:
+        if data[i:i + 1] == b"#":  # comment to end of line
+            i = data.index(b"\n", i) + 1
+            continue
+        if data[i:i + 1].isspace():
+            i += 1
+            continue
+        j = i
+        while not data[j:j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    raw = np.frombuffer(data, dtype=np.uint8, offset=i + 1)
+    if magic == b"P6":
+        return raw[: w * h * 3].reshape((h, w, 3)).copy()
+    if magic == b"P5":
+        return raw[: w * h].reshape((h, w)).copy()
+    raise ValueError(f"unsupported PNM magic {magic!r}")
+
+
+def load_image(src: str) -> np.ndarray:
+    """Resolve a string image source for warp (reference imwarp.py:
+    92-96 accepts http URLs and decodes via PIL).  PIL is unavailable
+    here, so two self-describing PUBLIC formats are decoded natively:
+    numpy .npy and binary PPM/PGM; other formats raise with a clear
+    message.  http(s)/file URLs fetch via urllib; plain paths open
+    directly (a superset of the reference, which only special-cases
+    http)."""
+    import io
+    import urllib.request
+
+    if src.startswith(("http://", "https://", "file://")):
+        with urllib.request.urlopen(src) as fobj:
+            data = fobj.read()
+    else:
+        with open(src, "rb") as f:
+            data = f.read()
+    if data[:6] == b"\x93NUMPY":
+        return np.load(io.BytesIO(data), allow_pickle=False)
+    if data[:2] in (b"P6", b"P5"):
+        return _parse_pnm(data)
+    raise ValueError(
+        "unsupported image format (PIL is not available in this "
+        "environment) — provide .npy or binary PPM/PGM"
+    )
+
+
 def _to_rgba(im: np.ndarray) -> tuple[np.ndarray, int]:
     """Normalize (h,w), (h,w,3) or (h,w,4) uint8 input; returns the
     array and its band count (mirrors imwarp.py:271-277 mode logic)."""
@@ -219,7 +274,11 @@ def warp(im: np.ndarray, transform, resample: str = "nearest",
 
     ``maxdim`` downsamples the source first and prepends the inverse
     pixel scale to the chain (imwarp.py:111-127); ``fromcrs``/``tocrs``
-    appends a MapProjection reprojection step (imwarp.py:132-135)."""
+    appends a MapProjection reprojection step (imwarp.py:132-135).
+    ``im`` may be a URL or path string (imwarp.py:92-96; see
+    load_image for the supported PIL-free formats)."""
+    if isinstance(im, str):
+        im = load_image(im)
     chain = as_chain(transform)
     im, nbands = _to_rgba(np.asarray(im))
     imh, imw = im.shape[:2]

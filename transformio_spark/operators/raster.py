@@ -332,6 +332,68 @@ def warp_tiles(
     return out_tiles, affine, out_size
 
 
+def rasterize_tiles(
+    spark: SparkSession,
+    geoj,
+    size: tuple[int, int] | None = None,
+    imbounds=None,
+    out_tile: int = 256,
+    fillcolor="blue",
+    fillsize=10,
+    outlinecolor=None,
+    outlinewidth=1,
+) -> tuple[DataFrame, tuple[int, int], tuple]:
+    """Distributed GeoJSON rasterization — the tiled twin of
+    kernels.draw.draw_geojson.  The (tiny) image-space geometry list
+    is broadcast; each output tile renders its pixel window with the
+    SAME per-pixel predicates at GLOBAL pixel coordinates, so the
+    assembled mosaic is bit-equal to the whole-image kernel (tested).
+    Geometries whose padded image-space bbox misses a tile are skipped
+    — the rasterizer's partition-pruning analog.  Returns
+    (tiles_df, (w, h), imbounds)."""
+    from ..kernels.draw import _geom_list, plan_draw, render_geoms
+    from ..kernels.vector import get_bbox
+
+    geoms_img, (w, h), imbounds = plan_draw(geoj, size, imbounds)
+    pad = max(fillsize / 2.0, outlinewidth / 2.0) + 1.0
+    boxes = [get_bbox(g) for g in geoms_img]
+    grid = _out_grid(w, h, out_tile)
+    grid_df = spark.createDataFrame(
+        grid, "otx int, oty int, ocol0 int, orow0 int, ow int, oh int"
+    )
+    geoms_b = spark.sparkContext.broadcast(list(zip(geoms_img, boxes)))
+
+    def render(batches):
+        for pdf in batches:
+            out_rows = {c: [] for c in
+                        ("tile_x", "tile_y", "col0", "row0", "w", "h", "px")}
+            for r in pdf.itertuples():
+                canvas = np.zeros((r.oh, r.ow, 4), dtype=np.uint8)
+                # draw-order preserved; only bbox-overlapping geoms run
+                touching = [
+                    g for g, (bx1, by1, bx2, by2) in geoms_b.value
+                    if bx2 + pad >= r.ocol0 and bx1 - pad < r.ocol0 + r.ow
+                    and by2 + pad >= r.orow0 and by1 - pad < r.orow0 + r.oh
+                ]
+                if touching:
+                    render_geoms(
+                        touching, canvas,
+                        fillcolor=fillcolor, fillsize=fillsize,
+                        outlinecolor=outlinecolor, outlinewidth=outlinewidth,
+                        col0=r.ocol0, row0=r.orow0,
+                    )
+                out_rows["tile_x"].append(r.otx)
+                out_rows["tile_y"].append(r.oty)
+                out_rows["col0"].append(r.ocol0)
+                out_rows["row0"].append(r.orow0)
+                out_rows["w"].append(r.ow)
+                out_rows["h"].append(r.oh)
+                out_rows["px"].append(bytearray(canvas.tobytes()))
+            yield pd.DataFrame(out_rows)
+
+    return grid_df.mapInPandas(render, TILE_SCHEMA), (w, h), imbounds
+
+
 def tiles_to_image(rows, width: int, height: int) -> np.ndarray:
     """Reassemble collected tile rows into one (h, w, 4) array."""
     out = np.zeros((height, width, 4), dtype=np.uint8)
