@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_transform": _shipped(q.q_vector_transform),
         "poly2_transform": _shipped(q.q_poly2_transform),
         "mercator_cells": _shipped(q.q_mercator_cells),
+        "projective_transform": _shipped(q.q_projective_transform),
         "poly_roundtrip": _shipped(q.q_poly_roundtrip),
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_transform": oracles.vector_transform(),
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
+        "projective_transform": oracles.projective_transform(),
         "quality_by_lang": oracles.quality_by_lang(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),

@@ -214,3 +214,27 @@ def test_ray_cast_matches_numpy_reference(spark):
         assert r.inside == want, (r.px, r.py)
         n_in += want
     assert 0 < n_in < len(pts)  # non-degenerate
+
+
+def test_projective_column_twin_matches_kernel(spark):
+    """functions/geo.projective_predict must equal
+    kernels.Projective.predict on the same H (both are the standard
+    homography division; double-exact on identical expression trees)."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions import geo
+    from transformio_spark.plans.queries import PROJECTIVE_H
+
+    rows = [(float(lon), float(lat)) for lon in range(-179, 180, 41)
+            for lat in range(-84, 85, 29)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    px, py = geo.projective_predict(PROJECTIVE_H, F.col("lon"), F.col("lat"))
+    got = df.select("lon", "lat", px.alias("px"), py.alias("py")).collect()
+
+    trans = k.Projective(H=np.array(PROJECTIVE_H))
+    ex, ey = trans.predict(
+        np.array([r.lon for r in got]), np.array([r.lat for r in got])
+    )
+    for r, wx, wy in zip(got, ex, ey):
+        assert abs(r.px - wx) < 1e-12
+        assert abs(r.py - wy) < 1e-12

@@ -72,6 +72,20 @@ def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
 
 
+def projective_predict(H, x: Column, y: Column) -> tuple[Column, Column]:
+    """Homography (kernels.transforms.Projective.predict semantics) as
+    pure Column arithmetic: (a·x+b·y+c)/(g·x+h·y+i), two rows over the
+    shared denominator."""
+    den = F.lit(float(H[2][0])) * x + F.lit(float(H[2][1])) * y + F.lit(float(H[2][2]))
+    px = (
+        F.lit(float(H[0][0])) * x + F.lit(float(H[0][1])) * y + F.lit(float(H[0][2]))
+    ) / den
+    py = (
+        F.lit(float(H[1][0])) * x + F.lit(float(H[1][1])) * y + F.lit(float(H[1][2]))
+    ) / den
+    return px, py
+
+
 # WGS84 semi-major axis — the EPSG:3857 sphere radius
 WEBMERC_R = 6378137.0
 
@@ -119,6 +133,16 @@ def _poly_terms_sql(order: int, x: str, y: str) -> list[str]:
             xx, xy, yy, x, y, "1e0",
         ]
     raise ValueError(order)
+
+
+def projective_predict_sql(H, x: str, y: str) -> tuple[str, str]:
+    def lit(v):
+        return dlit_sql(v)
+
+    den = f"({lit(H[2][0])} * {x} + {lit(H[2][1])} * {y} + {lit(H[2][2])})"
+    px = f"(({lit(H[0][0])} * {x} + {lit(H[0][1])} * {y} + {lit(H[0][2])}) / {den})"
+    py = f"(({lit(H[1][0])} * {x} + {lit(H[1][1])} * {y} + {lit(H[1][2])}) / {den})"
+    return px, py
 
 
 def mercator_forward_sql(lon: str, lat: str) -> tuple[str, str]:

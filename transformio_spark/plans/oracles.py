@@ -145,6 +145,23 @@ ORDER BY region_id, pt_seq
 """
 
 
+def projective_transform() -> str:
+    from ..functions.geo import projective_predict_sql
+    from .queries import PROJECTIVE_H
+
+    px, py = projective_predict_sql(PROJECTIVE_H, "lon", "lat")
+    return f"""
+WITH {geo_oracle.points_cte()},
+t AS (SELECT {px} AS px, {py} AS py FROM pts)
+SELECT count(*) AS n_points,
+       cast(round(sum(px) * 10000e0) as bigint) AS sum_px_e4,
+       cast(round(sum(py) * 10000e0) as bigint) AS sum_py_e4,
+       cast(round(min(px) * 1000000e0) as bigint) AS min_px_e6,
+       cast(round(max(py) * 1000000e0) as bigint) AS max_py_e6
+FROM t
+"""
+
+
 def mercator_cells() -> str:
     """SQL twin of q_mercator_cells: same spherical web-Mercator
     formula (functions/geo.py:mercator_forward_sql) over the shared

@@ -236,14 +236,20 @@ def q_token_stats(spark, sf_dir) -> DataFrame:
     with exact integer cross-engine semantics."""
     docs = synth.raw_documents(spark, sf_dir)
     t = F.col("text")
-    fp = text.rolling_fingerprint(t)
+    # project the per-char fingerprint fold ONCE — two aggregates over
+    # the same expression would evaluate it twice per row
+    pre = docs.select(
+        "lang",
+        text.bpe_token_count(t).alias("bpe"),
+        text.rolling_fingerprint(t).alias("fp"),
+    )
     return (
-        docs.groupBy("lang")
+        pre.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text.bpe_token_count(t)).alias("sum_bpe_tokens"),
-            F.count_distinct(fp).alias("n_fingerprints"),
-            F.max(fp).alias("max_fp"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+            F.count_distinct(F.col("fp")).alias("n_fingerprints"),
+            F.max("fp").alias("max_fp"),
         )
         .orderBy("lang")
     )
@@ -517,6 +523,33 @@ def q_poly2_transform(spark, sf_dir) -> DataFrame:
     match to the last ulp before e-scaling."""
     pts = points_df(spark, sf_dir)
     px, py = geo.polynomial_predict(POLY2_A, 2, F.col("lon"), F.col("lat"))
+    out = pts.select(px.alias("px"), py.alias("py"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _e(F.sum("px"), 4).alias("sum_px_e4"),
+        _e(F.sum("py"), 4).alias("sum_py_e4"),
+        _e(F.min("px"), 6).alias("min_px_e6"),
+        _e(F.max("py"), 6).alias("max_py_e6"),
+    )
+
+
+# literal homography for the Column-expression projective path
+# (SURVEY op 9): near-identity with small perspective terms so the
+# denominator stays ~1 on +/-180 x +/-85 inputs
+PROJECTIVE_H = [
+    [0.95, 0.04, 3.0],
+    [-0.03, 1.05, -2.0],
+    [1e-05, -2e-05, 1.0],
+]
+
+
+def q_projective_transform(spark, sf_dir) -> DataFrame:
+    """Homography transform (SURVEY op 9 — Projective, absent/stub in
+    the reference, required by BASELINE) as PURE Column arithmetic:
+    identical fp expression tree in the DuckDB oracle, so aggregates
+    match exactly (same pattern as q_poly2_transform)."""
+    pts = points_df(spark, sf_dir)
+    px, py = geo.projective_predict(PROJECTIVE_H, F.col("lon"), F.col("lat"))
     out = pts.select(px.alias("px"), py.alias("py"))
     return out.agg(
         F.count(F.lit(1)).alias("n_points"),
