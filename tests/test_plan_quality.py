@@ -102,3 +102,24 @@ def test_pip_polygon_is_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(q.q_pip_polygon(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_or_row_python_in_any_query(spark, sf_dir):
+    """Sweep EVERY driver query's physical plan: no CartesianProduct
+    and no row-at-a-time Python UDF (BatchEvalPython) anywhere —
+    Python crossings must be Arrow-vectorized (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas only).  BroadcastNestedLoopJoin
+    is allowed only for the deliberate brute-force kNN baseline
+    (query-side broadcast cross product)."""
+    import __spark_entry__ as entrymod
+
+    bnlj_ok = {
+        "embedding_knn_l2",  # deliberate brute-force cross, query side broadcast
+        "hotspot_share",     # crossJoin of two SINGLE-ROW aggregates (scalar join)
+    }
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name

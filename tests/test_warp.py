@@ -76,8 +76,8 @@ def test_warp_bounds_size_tile():
     assert out[:, :, 3].max() == 255
 
 
-@pytest.mark.parametrize("out_tile", [64, 100])
-def test_tiled_warp_bitwise_matches_full(spark, out_tile):
+@pytest.mark.parametrize("out_tile,src_tile", [(64, None), (100, None), (64, 96)])
+def test_tiled_warp_bitwise_matches_full(spark, out_tile, src_tile):
     """The distributed tiled warp must equal the single-array kernel
     BIT FOR BIT (same bounds/size/affine), tile seams included."""
     from transformio_spark.operators import raster
@@ -96,7 +96,7 @@ def test_tiled_warp_bitwise_matches_full(spark, out_tile):
     chain_json = json.dumps(chain.to_json())
     out_tiles, affine_tiled = raster.warp_tiled(
         spark, tiles_df, (256, 256), chain_json, affine_full, size,
-        out_tile=out_tile,
+        out_tile=out_tile, src_tile=src_tile,
     )
     assembled = raster.tiles_to_image(out_tiles.collect(), size[0], size[1])
     assert affine_tiled == pytest.approx(affine_full)

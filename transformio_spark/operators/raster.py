@@ -86,13 +86,16 @@ def warp_tiled(
     size: tuple[int, int],
     out_tile: int = 256,
     nbands: int = 4,
+    src_tile: int | None = None,
 ) -> tuple[DataFrame, list]:
     """Distributed backward-mapping warp.  Returns (out_tiles_df,
     affine6).  ``affine``/``size`` are the EXACT output geometry (use
     kernels.warp's bounds/size logic on the driver to derive them —
     passing the exact affine rather than re-deriving scales from
     bounds keeps output pixel centers bit-identical to the
-    single-array kernel, so np.around can never flip)."""
+    single-array kernel, so np.around can never flip).  Pass
+    ``src_tile`` (the source grid pitch) to turn the source-pruning
+    join into a hash equi-join (see phase 2 below)."""
     imw, imh = src_size
     w, h = size
     xscale, _, xoff, _, yscale, yoff = affine
@@ -139,17 +142,62 @@ def warp_tiled(
         bbox_iter, "otx int, oty int, cmin int, cmax int, rmin int, rmax int"
     )
 
-    # phase 2: interval-overlap join to source tiles (pruning join)
+    # phase 2: join output-tile bboxes to the source tiles they need.
+    # When the source grid pitch is known (src_tile), the bbox expands
+    # to explicit (tile_x, tile_y) keys and the join is a HASH
+    # equi-join — at scale both sides are metadata tables with
+    # millions of rows, and an interval BNLJ there would be quadratic.
+    # Unknown pitch falls back to the interval-overlap join.
     st = src_tiles.select(
         "tile_x", "tile_y", "col0", "row0", "w", "h", "px"
     )
-    cond = (
-        (st.col0 <= F.col("cmax"))
-        & (st.col0 + st.w - 1 >= F.col("cmin"))
-        & (st.row0 <= F.col("rmax"))
-        & (st.row0 + st.h - 1 >= F.col("rmin"))
-    )
-    matched = bboxes.join(st, on=cond, how="left")
+    if src_tile:
+        n_tx = (imw + src_tile - 1) // src_tile
+        n_ty = (imh + src_tile - 1) // src_tile
+        tx_lo = F.greatest(F.floor(F.col("cmin") / src_tile), F.lit(0))
+        tx_hi = F.least(F.floor(F.col("cmax") / src_tile), F.lit(n_tx - 1))
+        ty_lo = F.greatest(F.floor(F.col("rmin") / src_tile), F.lit(0))
+        ty_hi = F.least(F.floor(F.col("rmax") / src_tile), F.lit(n_ty - 1))
+        keys = F.flatten(
+            F.transform(
+                F.sequence(ty_lo, ty_hi),
+                lambda ty: F.transform(
+                    F.sequence(tx_lo, tx_hi),
+                    lambda tx: F.struct(
+                        tx.cast("int").alias("tile_x"),
+                        ty.cast("int").alias("tile_y"),
+                    ),
+                ),
+            )
+        )
+        # empty range (bbox outside the source) -> null key, left join
+        # keeps the grid row so the output tile still renders (black)
+        expanded = bboxes.withColumn(
+            "_k",
+            F.explode_outer(
+                F.when(
+                    (F.col("cmax") >= F.col("cmin"))
+                    & (tx_hi >= tx_lo) & (ty_hi >= ty_lo),
+                    keys,
+                )
+            ),
+        )
+        matched = expanded.join(
+            st,
+            on=(
+                (expanded["_k.tile_x"] == st.tile_x)
+                & (expanded["_k.tile_y"] == st.tile_y)
+            ),
+            how="left",
+        ).drop("_k")
+    else:
+        cond = (
+            (st.col0 <= F.col("cmax"))
+            & (st.col0 + st.w - 1 >= F.col("cmin"))
+            & (st.row0 <= F.col("rmax"))
+            & (st.row0 + st.h - 1 >= F.col("rmin"))
+        )
+        matched = bboxes.join(st, on=cond, how="left")
 
     # phase 3: mosaic + gather per output tile
     meta = {g[0:2]: g for g in _out_grid(w, h, out_tile)}
@@ -305,6 +353,7 @@ def warp_tiles(
     tocrs=None,
     out_tile: int = 256,
     nbands: int = 4,
+    src_tile: int | None = None,
 ) -> tuple[DataFrame, list, tuple[int, int]]:
     """Full-option distributed warp — the tiled twin of kernels.warp
     with the same signature semantics (maxdim downsample-prepend,
@@ -324,10 +373,11 @@ def warp_tiles(
             spark, src_tiles, src_size, eff_size, out_tile=out_tile,
             nbands=nbands,
         )
+        src_tile = out_tile  # re-gridded by resize_tiles
     affine, out_size = output_geometry(eff_size, chain, size=size, bounds=bounds)
     out_tiles, _ = warp_tiled(
         spark, src_tiles, eff_size, json.dumps(chain.to_json()), affine,
-        out_size, out_tile=out_tile, nbands=nbands,
+        out_size, out_tile=out_tile, nbands=nbands, src_tile=src_tile,
     )
     return out_tiles, affine, out_size
 

@@ -381,7 +381,7 @@ def q_warp_tile_checksums(spark, sf_dir) -> DataFrame:
     tiles_df = raster.image_to_tiles(spark, im, tile=96)
     out_tiles, _aff = raster.warp_tiled(
         spark, tiles_df, (size0, size0), _json.dumps(chain.to_json()),
-        affine, size, out_tile=64,
+        affine, size, out_tile=64, src_tile=96,
     )
     return out_tiles.select(
         "tile_x", "tile_y", F.md5(F.col("px")).alias("px_md5")
