@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
         "embedding_neardup_pairs": _shipped(q.q_embedding_neardup_pairs),
+        "embedding_ivf": _shipped(q.q_embedding_ivf),
         "pricing_summary": _shipped(q.q_pricing_summary),
         "revenue_by_nation": _shipped(q.q_revenue_by_nation),
         "events_by_type": _shipped(q.q_events_by_type),
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),
         "embedding_neardup_pairs": oracles.embedding_neardup_pairs(),
+        "embedding_ivf": oracles.embedding_ivf(),
         "pricing_summary": oracles.pricing_summary(),
         "revenue_by_nation": oracles.revenue_by_nation(),
         "events_by_type": oracles.events_by_type(),

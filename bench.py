@@ -37,6 +37,7 @@ EXTRA = [
     "mercator_cells",         # MapProjection chain via pandas-UDF path
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
+    "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

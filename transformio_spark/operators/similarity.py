@@ -76,6 +76,75 @@ def lsh_bucket(unit_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic unit-norm centroids (seeded Gaussian directions).
+    A production pipeline would k-means these on a sample; fixed
+    random directions keep the partitioning deterministic and
+    oracle-expressible while exercising the identical plan shape."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cell_rank_array(unit_col, cents: list[list[float]]):
+    """array of cells ordered by descending centroid dot — pure Column
+    arithmetic (struct sort on (-dot, cell))."""
+    entries = [
+        F.struct(
+            (-_dot(unit_col, F.array(*[F.lit(float(v)) for v in c]))).alias("nd"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_cell(unit_col, cents: list[list[float]]):
+    """Nearest-centroid cell id — the IVF assignment, zero joins."""
+    return F.element_at(_cell_rank_array(unit_col, cents), 1)["cell"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path beside the
+    LSH one: corpus rows are assigned to their nearest centroid cell
+    (inline argmax, NO shuffle for assignment); each query probes its
+    ``n_probe`` nearest cells; candidates are a hash equi-join on
+    cell; exact cosine re-rank inside candidates.  At 10^12 rows the
+    equi-join on a bounded cell key replaces the cross product, and
+    n_probe dials recall vs cost exactly like IVF-Flat indexes."""
+    c = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        F.col("unit").alias("c_unit"),
+        ivf_cell(F.col("unit"), cents).alias("cell"),
+    )
+    q = queries.select(
+        "query_id", "unit",
+        F.explode(
+            F.transform(
+                F.slice(_cell_rank_array(F.col("unit"), cents), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    joined = q.join(c, "cell")
+    cos = _dot(F.col("unit"), F.col("c_unit"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "nb_id", "cos")
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -355,6 +355,67 @@ ORDER BY query_id, rnk
 """
 
 
+def embedding_ivf(
+    k: int = 5, n_cells: int = 16, n_probe: int = 2, seed: int = 11,
+    dim: int = 64,
+) -> str:
+    """Exact SQL twin of the IVF query: same literal centroids, same
+    nearest-cell assignment (dot desc, cell asc tie-break), same
+    n_probe probing and cosine re-rank."""
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim=dim, n_cells=n_cells, seed=seed)
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(_dlit(v) for v in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS unit
+  FROM v
+),
+cents(cell, cv) AS (VALUES {cent_rows}),
+ranked_cells AS (
+  SELECT u.vec_id, cents.cell,
+         row_number() OVER (PARTITION BY u.vec_id
+                            ORDER BY list_dot_product(u.unit, cents.cv) DESC,
+                                     cents.cell ASC) AS crank
+  FROM u, cents
+),
+corpus AS (
+  SELECT rc.vec_id AS nb_id, rc.cell
+  FROM ranked_cells rc WHERE rc.crank = 1 AND rc.vec_id >= 10
+),
+probes AS (
+  SELECT rc.vec_id AS query_id, rc.cell
+  FROM ranked_cells rc WHERE rc.crank <= {n_probe} AND rc.vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, c.nb_id,
+         list_dot_product(qu.unit, cu.unit) AS cos
+  FROM probes p
+  JOIN corpus c ON p.cell = c.cell
+  JOIN u qu ON qu.vec_id = p.query_id
+  JOIN u cu ON cu.vec_id = c.nb_id
+),
+ranked AS (
+  SELECT query_id, nb_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nb_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, rnk, nb_id AS neighbor_id,
+       cast(round(cos * 10000e0) as bigint) AS cos_e4
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
 def embedding_neardup_pairs(threshold: float = 0.40) -> str:
     """Brute-force exact-cosine oracle for the LSH near-dup query —
     valid because LSH recall is verified 100% on the gate data (see

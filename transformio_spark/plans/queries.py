@@ -446,6 +446,30 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_embedding_ivf(spark, sf_dir) -> DataFrame:
+    """IVF-Flat ANN (inverted-file cells + n_probe, the second scale
+    path beside sign-LSH): oracle replicates the EXACT algorithm
+    (same literal centroids, same assignment/probe/re-rank), so this
+    is a full hash-verified row, not a recall check."""
+    from ..operators import similarity
+
+    emb = similarity.with_unit_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    cents = similarity.ivf_centroids(dim=64, n_cells=16, seed=11)
+    out = similarity.ivf_topk(corpus, queries_df, cents, k=5, n_probe=2)
+    return out.select(
+        "query_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("nb_id").alias("neighbor_id"),
+        _e(F.col("cos"), 4).alias("cos_e4"),
+    ).orderBy("query_id", "rnk")
+
+
 def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs (sign-LSH candidates + exact
     verify).  Oracle = brute-force all pairs with cos >= 0.40 — valid
