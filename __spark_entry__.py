@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_choose_model": _shipped(q.q_auto_choose_model),
         "dedup_exact": _shipped(q.q_dedup_exact),
         "minhash_pairs": _shipped(q.q_minhash_pairs),
+        "simhash_buckets": _shipped(q.q_simhash_buckets),
         "media_features": _shipped(q.q_media_features),
         "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
@@ -135,5 +136,10 @@ def no_oracle_reason() -> dict[str, str]:
             "mapInPandas feature extraction over opaque binary media blobs "
             "with a deterministic stub decoder — binary kernel, not SQL; "
             "schema/batching verified in pytest"
+        ),
+        "simhash_buckets": (
+            "SimHash bit votes are xxhash64-seeded (no DuckDB equivalent "
+            "hash); deterministic, dup-invariance and hamming-distribution "
+            "properties pinned in pytest (test_dedup_similarity.py)"
         ),
     }

@@ -486,6 +486,19 @@ def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_simhash_buckets(spark, sf_dir) -> DataFrame:
+    """SimHash fingerprints + 16-bit prefix buckets over the documents
+    corpus.  Deterministic (xxhash64 shingle bits) but xxhash64 has no
+    DuckDB twin -> rows-only driver check; the dup-invariance /
+    hamming-distribution properties are pinned in pytest."""
+    from ..operators import dedup
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.simhash_buckets(docs).orderBy("id")
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: synth media → mapInPandas feature extract
     → per-kind stats.  Decode is a deterministic stub (no codec libs
