@@ -198,3 +198,18 @@ def test_ivf_topk_recall(embeddings):
     # results are a subset of the candidate set, k'd and ranked
     for r in approx:
         assert 1 <= r.rnk <= 5
+
+
+def test_simhash_neardup_pairs(corpus):
+    pairs = dedup.simhash_neardup_pairs(corpus, max_hamming=10).collect()
+    found = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    # exact duplicates: hamming 0, always same bucket
+    for i in range(20):
+        assert found.get((f"d{i:03d}a", f"d{i:03d}b")) == 0
+    # near dups: most should land (same prefix + small hamming)
+    near = sum((f"d{i:03d}a", f"d{i:03d}c") in found for i in range(20))
+    assert near >= 10
+    # verify hamming values against python ints
+    hashes = {r.id: r.simhash for r in dedup.simhash_buckets(corpus).collect()}
+    for (a, b), h in found.items():
+        assert bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") == h

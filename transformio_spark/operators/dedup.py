@@ -101,6 +101,41 @@ def simhash_from_votes(votes_col):
     return out
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 16-bit prefix buckets generate
+    candidates (same plan shape as the MinHash band join), exact
+    hamming distance (xor + bit_count, pure Column) verifies.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    Prefix bucketing finds pairs whose top 16 bits agree — near-dups
+    usually do (the prefix is the 16 most significant majority votes);
+    multi-rotation bucketing would push recall further at k x the
+    candidate cost, the standard SimHash tradeoff."""
+    sh = simhash_buckets(docs, id_col=id_col, text_col=text_col, k=k)
+    left = sh.select(
+        F.col("bucket"), F.col("id").alias("id_a"),
+        F.col("simhash").alias("h_a"),
+    )
+    right = sh.select(
+        F.col("bucket"), F.col("id").alias("id_b"),
+        F.col("simhash").alias("h_b"),
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def jaccard(a, b):
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
