@@ -213,3 +213,28 @@ def test_simhash_neardup_pairs(corpus):
     hashes = {r.id: r.simhash for r in dedup.simhash_buckets(corpus).collect()}
     for (a, b), h in found.items():
         assert bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") == h
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from transformio_spark.sources import synth
+
+    docs = synth.docs_spans(spark, sf_dir).limit(30)
+    media = multimodal.synth_media(spark, docs)
+    resized = multimodal.resize_media(media, out_w=16, out_h=16).collect()
+    assert len(resized) == 30
+    for r in resized:
+        if r.kind == "audio":
+            assert not r.ok and "audio" in r.err
+        else:
+            assert r.ok and len(r.px_md5) == 32
+            assert (r.out_w, r.out_h) == (16, 16)
+    # determinism
+    again = {r.media_id: r.px_md5
+             for r in multimodal.resize_media(media, out_w=16, out_h=16).collect()}
+    assert {r.media_id: r.px_md5 for r in resized} == again
+
+    frames = multimodal.sample_frames(media, every_k=2).collect()
+    vids = {r.media_id for r in media.collect() if r.kind == "video"}
+    assert {f.media_id for f in frames} == vids
+    for f in frames:
+        assert f.frame_idx % 2 == 0

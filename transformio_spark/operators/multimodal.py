@@ -111,3 +111,74 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id string, kind string, ok boolean, err string, "
+    "out_w int, out_h int, px_md5 string"
+)
+
+FRAMES_SCHEMA = (
+    "media_id string, frame_idx int, frame_md5 string"
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Decode (stub) → area-average resize (kernels.warp.area_resize,
+    the same resampler the raster path uses) → md5 of the resized
+    pixels.  Audio is rejected per-row (ok=false), like a real
+    pipeline where resize applies to visual media only."""
+    from ..kernels.warp import area_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in
+                   ("media_id", "kind", "ok", "err", "out_w", "out_h", "px_md5")}
+            cols = (pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy(), pdf["meta"].to_numpy())
+            for media_id, kind, payload, meta in zip(*cols):
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                try:
+                    if kind == "audio":
+                        raise NotImplementedError("resize undefined for audio")
+                    arr = _decode_stub(kind, bytes(payload), meta)
+                    frame = arr if kind == "image" else arr[0]
+                    small = area_resize(frame, out_w, out_h)
+                    out["ok"].append(True)
+                    out["err"].append("")
+                    out["px_md5"].append(hashlib.md5(small.tobytes()).hexdigest())
+                except NotImplementedError as e:
+                    out["ok"].append(False)
+                    out["err"].append(str(e))
+                    out["px_md5"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling for video media: decode (stub) → every k-th
+    frame emitted as one row (media_id, frame_idx, frame_md5).
+    Non-video rows produce no output rows (filter semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_md5": []}
+            cols = (pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy(), pdf["meta"].to_numpy())
+            for media_id, kind, payload, meta in zip(*cols):
+                if kind != "video":
+                    continue
+                arr = _decode_stub(kind, bytes(payload), meta)
+                for idx in range(0, arr.shape[0], every_k):
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(
+                        hashlib.md5(arr[idx].tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
