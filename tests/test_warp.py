@@ -184,3 +184,36 @@ def test_warp_tiles_full_options_matches_kernel(spark):
     assert (w, h) == (full.shape[1], full.shape[0])
     assembled = raster.tiles_to_image(out_tiles.collect(), w, h)
     assert_array_equal(assembled, full)
+
+
+def test_worldfile_read_reference_golden():
+    """Reading the vendored .wld reproduces the README world affine
+    (README.md:611-620)."""
+    from transformio_spark.sources.worldfile import read_worldfile
+
+    trans = read_worldfile(
+        "/root/reference/tests/data/land_shallow_topo_2048.wld"
+    )
+    from transformio_spark.fixtures import WORLD_AFFINE
+
+    assert_array_almost_equal(trans.A, np.array(WORLD_AFFINE), decimal=12)
+
+
+def test_worldfile_roundtrip_through_warp(tmp_path):
+    from transformio_spark.sources.worldfile import (
+        read_worldfile,
+        write_worldfile,
+    )
+
+    im = synth_image(64)
+    trans = k.Affine(A=[[0.5, 0, 100.0], [0, 0.5, -30.0], [0, 0, 1]])
+    _, affine = kwarp.warp(im, trans)
+    p = tmp_path / "out.wld"
+    write_worldfile(str(p), affine)
+    back = read_worldfile(str(p))
+    assert_array_almost_equal(
+        back.A,
+        np.array([[affine[0], affine[1], affine[2]],
+                  [affine[3], affine[4], affine[5]], [0, 0, 1]]),
+        decimal=12,
+    )
