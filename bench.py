@@ -188,6 +188,103 @@ def skew_probe(spark, docs_path: str, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
 
 
+def reference_compare(spark, sf_dir: str) -> dict:
+    """Single-node reference vs engine on the SAME rows and the SAME
+    math — the 'matches-or-beats the reference's single-node
+    throughput' evidence (the reference publishes no numbers, but it
+    is vendored and importable, so we measure it directly).
+
+    Workload: order-2 polynomial predict (reference transforms.py
+    Polynomial.predict) + R=6367 haversine distance (reference
+    accuracy.py distances 'geodesic') over the 6.4M-point corpus,
+    reduced to checksum sums.  The reference side is pyarrow parquet
+    read -> whole-array numpy (its native execution model, best case:
+    zero Python loop); the engine side is the Spark scan -> Column
+    codegen path at local[N].  Both sides include data access."""
+    import sys
+    import time as _t
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from ref_loader import load_reference_modules
+
+    from transformio_spark.functions import geo
+    from transformio_spark.plans.queries import POLY2_A
+
+    rtrans, racc, _ = load_reference_modules()
+
+    # materialize the extracted (lon, lat) point table once — both
+    # sides read the SAME parquet file.  Unamplified corpus (800k
+    # points at sf0.1): big enough to measure, small enough that the
+    # single-threaded reference side cannot blow the bench wall-time
+    # under noisy-neighbor contention.
+    import hashlib as _hl
+
+    key = _hl.md5(f"{sf_dir}|points".encode()).hexdigest()[:10]
+    pts_path = f"/tmp/transformio_bench_pts_{key}"
+    if not os.path.exists(os.path.join(pts_path, "_SUCCESS")):
+        from transformio_spark.operators import extract
+        from transformio_spark.sources import synth
+
+        affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+        docs = synth.docs_spans(spark, sf_dir)
+        extract.extract_coordinates(docs, affine_a).select(
+            "lon", "lat"
+        ).write.mode("overwrite").parquet(pts_path)
+
+    # --- reference (single-node numpy), best of 2 ---
+    # POLY2_A carries rows 0-1; the reference wants the full 6x6
+    # (its fit writes rows 0-1 of an identity matrix)
+    A6 = np.eye(6)
+    A6[0, :] = POLY2_A[0]
+    A6[1, :] = POLY2_A[1]
+    trans = rtrans.Polynomial(A=A6)
+    ref_sec = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        tbl = pq.read_table(pts_path, columns=["lon", "lat"])
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        px, py = trans.predict(lon, lat)
+        dist = racc.distances(lon, lat, px, py, "geodesic")
+        ref_checksum = float(px.sum() + py.sum() + dist.sum())
+        ref_sec = min(ref_sec, _t.perf_counter() - t0)
+
+    # --- engine (Spark scan + codegen), best of 2 ---
+    epx, epy = geo.polynomial_predict(POLY2_A, 2, F.col("lon"), F.col("lat"))
+    edist = geo.haversine_km(F.col("lon"), F.col("lat"), epx, epy)
+    eng_sec = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        df = spark.read.parquet(pts_path).select("lon", "lat")
+        row = (
+            df.select(epx.alias("px"), epy.alias("py"), edist.alias("d"))
+            .agg(
+                F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+                F.sum("d").alias("sd"), F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        eng_sec = min(eng_sec, _t.perf_counter() - t0)
+    eng_checksum = float(row.sx + row.sy + row.sd)
+
+    assert abs(ref_checksum - eng_checksum) < abs(ref_checksum) * 1e-9 + 1e-6, (
+        ref_checksum, eng_checksum,
+    )
+    n = int(row.n)
+    return {
+        "points": n,
+        "ref_single_node_sec": round(ref_sec, 4),
+        "engine_sec": round(eng_sec, 4),
+        "ref_points_per_sec": round(n / ref_sec, 2),
+        "engine_points_per_sec": round(n / eng_sec, 2),
+        "engine_vs_ref": round(ref_sec / eng_sec, 3),
+    }
+
+
 def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
         scale_factor: int = 8) -> dict:
     from transformio_spark.plans import queries as q
@@ -235,6 +332,7 @@ def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
     if quiet:
         spark.sparkContext.setLogLevel("ERROR")
     n_scaled, scale_wall = scale_job(spark, docs_path, sf_dir)
+    ref_cmp = reference_compare(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total",
@@ -250,6 +348,7 @@ def run(cores: int, sf_dir: str, repeat: int = 1, quiet: bool = True,
         "scale_wall_sec": round(scale_wall, 4),
         "scale_points_per_sec": round(n_scaled / scale_wall, 2),
         "skew_probe": skew,
+        "reference_compare": ref_cmp,
     }
     spark.stop()
     return result
