@@ -125,3 +125,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert df.columns == ["region_id", "n_points"]
+
+
+def test_every_query_has_oracle_or_justification():
+    """The driver gate's no_oracle set must be exactly the queries
+    with a written justification — no silent rows-only entries."""
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    justified = set(entrymod.no_oracle_reason())
+    assert oracled <= qs
+    assert justified == qs - oracled, (
+        f"unjustified rows-only: {sorted(qs - oracled - justified)}; "
+        f"stale justifications: {sorted(justified - (qs - oracled))}"
+    )
+    for reason in entrymod.no_oracle_reason().values():
+        assert len(reason) > 40  # a real sentence, not a stub
