@@ -238,3 +238,15 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
     assert {f.media_id for f in frames} == vids
     for f in frames:
         assert f.frame_idx % 2 == 0
+
+
+def test_ivf_fast_equals_column_path(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 20)
+    cents = similarity.ivf_centroids(dim=64, n_cells=16, seed=11)
+    fast = similarity.ivf_topk(corpus, queries, cents, k=5, n_probe=3, fast=True).collect()
+    slow = similarity.ivf_topk(corpus, queries, cents, k=5, n_probe=3, fast=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 0
