@@ -250,3 +250,38 @@ def test_ivf_fast_equals_column_path(embeddings):
     slow = similarity.ivf_topk(corpus, queries, cents, k=5, n_probe=3, fast=False).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 0
+
+
+def test_cosine_salted_equals_unsalted(embeddings):
+    """n_salt splinters hot LSH buckets without changing the pair set
+    (same guard as test_minhash_salted_equals_unsalted)."""
+    plain = similarity.cosine_neardup_pairs(embeddings, 0.40, dim=64).collect()
+    salted = similarity.cosine_neardup_pairs(
+        embeddings, 0.40, dim=64, n_salt=8
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    assert len(plain) > 0
+
+
+def test_ivf_tie_margin_on_gate_data():
+    """The dgemm fast path's fp summation order differs from the
+    sequential Column fold / DuckDB oracle, so cross-engine equality
+    needs a real dot-gap at the n_probe boundary (see
+    ivf_rank_cells_udf docstring).  Assert the gap over ALL vectors in
+    BOTH gate scale factors for the gate query's (seed, n_probe)."""
+    import duckdb
+
+    cents = np.array(similarity.ivf_centroids(dim=64, n_cells=16, seed=11))
+    for sf in ("sf0.001", "sf0.01"):
+        vecs = (
+            duckdb.sql(
+                f"select embedding from '/root/testdata/{sf}/embeddings.parquet'"
+            )
+            .fetchnumpy()["embedding"]
+        )
+        U = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        U /= np.linalg.norm(U, axis=1, keepdims=True)
+        D = np.sort(U @ cents.T, axis=1)[:, ::-1]
+        for n_probe in (1, 2, 3):  # corpus assignment + gate n_probe=2 + margin
+            gap = float(np.min(D[:, n_probe - 1] - D[:, n_probe]))
+            assert gap > 1e-9, (sf, n_probe, gap)

@@ -151,3 +151,31 @@ def test_warp_accepts_path_string(tmp_path):
     b, aff_b = kwarp.warp(str(p), trans)
     assert aff_a == aff_b
     assert_array_equal(a, b)
+
+
+def test_draw_point_outline_annulus():
+    """Point outline parity (reference utils.py:42 draws the ellipse
+    with outline=outlinecolor, width=outlinewidth): band centered on
+    the ideal circle, fill inside, untouched outside."""
+    geoj = {"type": "Point", "coordinates": [5, 5]}
+    out, _ = kdraw.draw_geojson(
+        geoj, im=np.zeros((100, 100, 4), np.uint8),
+        imbounds=(0.0, 10.0, 10.0, 0.0), fillsize=10,
+        outlinecolor="red", outlinewidth=2,
+    )
+    # geo (5,5) -> pixel center 50.5; radius 5 px, band = dist (4, 6]
+    assert tuple(out[50, 50]) == (0, 0, 255, 255)      # fill center
+    assert tuple(out[50, 45]) == (255, 0, 0, 255)      # dist 5.5: band
+    assert tuple(out[50, 46]) == (255, 0, 0, 255)      # dist 4.5: band
+    assert tuple(out[50, 47]) == (0, 0, 255, 255)      # dist 3.5: fill
+    assert tuple(out[50, 44]) == (0, 0, 0, 0)          # dist 6.5: outside
+
+    # fill=None still draws the ring alone (PIL fill=None semantics)
+    ring_only, _ = kdraw.draw_geojson(
+        geoj, im=np.zeros((100, 100, 4), np.uint8),
+        imbounds=(0.0, 10.0, 10.0, 0.0), fillsize=10,
+        fillcolor=None, outlinecolor="red", outlinewidth=2,
+    )
+    assert tuple(ring_only[50, 45]) == (255, 0, 0, 255)
+    assert tuple(ring_only[50, 55]) == (255, 0, 0, 255)
+    assert tuple(ring_only[50, 50]) == (0, 0, 0, 0)

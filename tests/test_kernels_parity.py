@@ -433,3 +433,26 @@ def test_mercator_unknown_pair_requires_pyproj():
         pass
     with pytest.raises(ImportError):
         k.MapProjection("EPSG:4326", "EPSG:32633")
+
+
+def test_pyproj_axis_order_matches_analytic_backend():
+    """With pyproj installed, bare EPSG codes get always_xy=True so the
+    pyproj path agrees with the analytic spherical-Mercator backend's
+    (x=lon, y=lat) convention instead of silently transposing
+    (ADVICE round 2).  Skipped where pyproj is absent (this sandbox);
+    the code path it guards is the cache-construction branch."""
+    pytest.importorskip("pyproj")
+    import numpy as np
+
+    from transformio_spark.kernels import transforms as kt
+
+    kt.MapProjection._transformer_cache.clear()
+    mp = kt.MapProjection("EPSG:4326", "EPSG:3857")
+    px, py = mp.predict(np.array([10.0]), np.array([50.0]))
+    ax, ay = kt._SphericalMercator(forward=True).transform(
+        np.array([10.0]), np.array([50.0])
+    )
+    # pyproj 3857 is ellipsoidal-sphere web mercator == the analytic
+    # formulas; agreement to sub-meter proves the axis order is lon/lat
+    assert abs(px[0] - ax[0]) < 1.0 and abs(py[0] - ay[0]) < 1.0
+    kt.MapProjection._transformer_cache.clear()

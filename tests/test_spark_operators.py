@@ -238,3 +238,30 @@ def test_projective_column_twin_matches_kernel(spark):
     for r, wx, wy in zip(got, ex, ey):
         assert abs(r.px - wx) < 1e-12
         assert abs(r.py - wy) < 1e-12
+
+
+def test_rolling_fingerprint_empty_text(spark):
+    """Empty string: Spark's sequence(1, 0) is DESCENDING [1, 0], so an
+    unguarded fold raises ELEMENT_AT_BY_INDEX_ZERO; the guarded column
+    must return 0 like the DuckDB twin (ADVICE round 2)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("", ), ("a", ), ("hello world", )], "text string"
+    )
+    got = {
+        r.text: r.fp
+        for r in df.select("text", T.rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    sql = T.rolling_fingerprint_sql("text")
+    want = dict(
+        duckdb.sql(
+            f"select text, {sql} as fp from (values (''), ('a'), ('hello world')) t(text)"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[""] == 0

@@ -117,14 +117,18 @@ ROLL_POWERS = [31 ** k for k in range(8)]
 
 
 def rolling_fingerprint(text: Column) -> Column:
+    # sequence(1, 0) in Spark is DESCENDING [1, 0] (implicit step -1),
+    # so an empty string would feed i=0 into element_at and raise
+    # ELEMENT_AT_BY_INDEX_ZERO — guard to 0, matching the SQL twin.
     powers = F.array(*[F.lit(p).cast("long") for p in ROLL_POWERS])
-    return F.aggregate(
+    fold = F.aggregate(
         F.sequence(F.lit(1), F.length(text)),
         F.lit(0).cast("long"),
         lambda acc, i: acc
         + F.ascii(text.substr(i, F.lit(1))).cast("long")
         * F.element_at(powers, (i - 1) % 8 + 1),
     )
+    return F.when(F.length(text) > 0, fold).otherwise(F.lit(0).cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -115,10 +115,23 @@ def render_geoms(
         if "Point" in typ:
             pts = geom["coordinates"] if "Multi" in typ else [geom["coordinates"]]
             r = fillsize / 2.0
+            half_w = outlinewidth / 2.0
             for x, y in pts:
                 m = disc_mask(x, y, r, X, Y)
                 if fill is not None:
                     out[m] = fill
+                if outline is not None:
+                    # reference utils.py:42 draws the ellipse with
+                    # outline=outlinecolor, width=outlinewidth; here an
+                    # annulus band centered on the ideal circle (same
+                    # convention as segment_band_mask) — PIL rasters
+                    # the band inward from the bbox, a sub-pixel
+                    # placement difference covered by the documented
+                    # deviation above.
+                    band = disc_mask(x, y, r + half_w, X, Y)
+                    if r - half_w > 0:
+                        band = band & ~disc_mask(x, y, r - half_w, X, Y)
+                    out[band] = outline
         elif "Polygon" in typ:
             polys = geom["coordinates"] if "Multi" in typ else [geom["coordinates"]]
             for poly in polys:

@@ -576,12 +576,17 @@ class MapProjection(_BaseTransform):
             try:
                 import pyproj  # optional dependency
 
-                # axis order follows the CRS definition, exactly as the
-                # reference does (transforms.py:544); with the proj4
-                # strings the reference README uses this is x=lon,y=lat,
-                # which is also the analytic backend's convention
+                # Axis order: the reference (transforms.py:544) passes
+                # proj4 strings, which pyproj always treats as x=lon,
+                # y=lat.  Bare EPSG codes, however, would follow the
+                # authority definition (EPSG:4326 is lat,lon) and
+                # silently transpose vs the analytic backend and the
+                # lon/lat oracles — so for recognized EPSG codes we pin
+                # always_xy=True; proj4/WKT strings stay raw like the
+                # reference.
+                xy = _crs_code(fromcrs) is not None and _crs_code(tocrs) is not None
                 self._transformer_cache[key] = pyproj.Transformer.from_crs(
-                    fromcrs, tocrs
+                    fromcrs, tocrs, always_xy=xy
                 )
             except ImportError:
                 pair = (_crs_code(fromcrs), _crs_code(tocrs))

@@ -118,7 +118,15 @@ def ivf_rank_cells_udf(cents: list[list[float]], n_top: int):
     higher-order-function fold is ~0.1 ms/row (interpreted, object
     churn); the batched matmul is ~100x faster per row — the right
     physical plan at 10^12 rows.  Identity of results with the Column
-    path is asserted in tests."""
+    path is asserted in tests.
+
+    TIE-MARGIN ASSUMPTION: dgemm's fp summation order differs from the
+    sequential Column fold / DuckDB list_dot_product, so a near-tie in
+    centroid dots (gap within ~1e-12 accumulated rounding) could flip
+    the cell ranking between engines.  Gate validity therefore rests
+    on the data having a real gap — tests/test_dedup_similarity.py
+    asserts a minimum dot-gap between the n_probe-th and
+    (n_probe+1)-th cells over ALL gate vectors (sf0.001 + sf0.01)."""
     from pyspark.sql.functions import pandas_udf
 
     Ct = np.array(cents, dtype=np.float64).T  # (dim, n_cells)
@@ -199,6 +207,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     seed: int = 7,
     dim: int | None = None,
+    n_salt: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the embedding analog of
     minhash_lsh_pairs: sign-LSH bucket self-join for candidates, exact
@@ -207,8 +216,12 @@ def cosine_neardup_pairs(
     Recall dial: collision prob per table is (1 - acos(c)/pi)^n_planes
     — few planes + many tables pushes recall -> 1 for c >= threshold
     while same-bucket candidates (not all pairs) bound the join size.
-    At 10^12 rows a hot bucket splits exactly like the minhash join
-    (salt the self-join if needed)."""
+
+    ``n_salt`` > 1 splinters hot buckets (boilerplate embeddings at
+    10^12 rows make one LSH bucket enormous), the exact pattern of
+    minhash_lsh_pairs: left salt = pmod(xxhash64(id), n_salt), right
+    replicated per salt, salt added to the join key — same pair set
+    (asserted in tests), n_salt-way split of the hottest bucket."""
     if dim is None:
         raise ValueError("cosine_neardup_pairs requires dim=")
     keys = []
@@ -228,8 +241,17 @@ def cosine_neardup_pairs(
     right = b.select(
         F.col("bucket"), F.col("id").alias("id_b"), F.col("unit").alias("u_b")
     )
+    join_keys = ["bucket"]
+    if n_salt and n_salt > 1:
+        left = left.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_salt))
+        )
+        right = right.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1)))
+        )
+        join_keys = join_keys + ["salt"]
     cand = (
-        left.join(right, "bucket")
+        left.join(right, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
