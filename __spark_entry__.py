@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly2_transform": _shipped(q.q_poly2_transform),
         "mercator_cells": _shipped(q.q_mercator_cells),
         "projective_transform": _shipped(q.q_projective_transform),
+        "tin_transform": _shipped(q.q_tin_transform),
         "poly_roundtrip": _shipped(q.q_poly_roundtrip),
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
         "projective_transform": oracles.projective_transform(),
+        "tin_transform": oracles.tin_transform(),
         "quality_by_lang": oracles.quality_by_lang(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),

@@ -503,3 +503,77 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def tin_transform() -> str:
+    """TIN.predict oracle: the driver-fit triangles (integer china22
+    pixel vertices + corner pseudo-GCPs) and their per-triangle order-1
+    coefficient rows embedded as literals; membership by the same
+    boundary-inclusive sign test; last-triangle-wins via max(tri_idx);
+    NaN-outside-hull as the left-anti null-bucket row.  Integer lattice
+    inputs keep the sign test exact across the kernel's float32 and
+    this double SQL (see q_tin_transform docstring)."""
+    from .queries import (
+        TIN_SX,
+        TIN_SY,
+        TIN_XLO,
+        TIN_YLO,
+        tin_gate_model,
+    )
+
+    _, tris = tin_gate_model()
+
+    def dlit(x: float) -> str:
+        # full-precision double literal; repr already carries an
+        # exponent for tiny coefficients, so only suffix e0 when not
+        r = repr(float(x))
+        return r if "e" in r else r + "e0"
+
+    vals = ", ".join(
+        "({}, {})".format(i, ", ".join(dlit(x) for x in (*v, *a, *b)))
+        for i, v, a, b in tris
+    )
+    c1 = "((t.x2 - t.x1) * (c.iy - t.y1) - (t.y2 - t.y1) * (c.ix - t.x1))"
+    c2 = "((t.x3 - t.x2) * (c.iy - t.y2) - (t.y3 - t.y2) * (c.ix - t.x2))"
+    c3 = "((t.x1 - t.x3) * (c.iy - t.y3) - (t.y1 - t.y3) * (c.ix - t.x3))"
+    inside = (
+        f"(({c1} <= 0 AND {c2} <= 0 AND {c3} <= 0) OR "
+        f"({c1} >= 0 AND {c2} >= 0 AND {c3} >= 0))"
+    )
+    return f"""
+WITH {geo_oracle.points_cte()},
+cells AS (
+    SELECT floor({TIN_XLO!r}e0 + (lon + 180.0e0) * {TIN_SX!r}e0) AS ix,
+           floor({TIN_YLO!r}e0 + (lat + 85.0e0) * {TIN_SY!r}e0) AS iy,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2
+),
+tris(tri_idx, x1, y1, x2, y2, x3, y3, a0, a1, a2, b0, b1, b2) AS (VALUES {vals}),
+hit AS (
+    SELECT c.ix, c.iy, c.n, max(t.tri_idx) AS ti
+    FROM cells c JOIN tris t ON {inside}
+    GROUP BY c.ix, c.iy, c.n
+),
+pred AS (
+    SELECT h.n,
+           t.a0 * h.ix + t.a1 * h.iy + t.a2 AS px,
+           t.b0 * h.ix + t.b1 * h.iy + t.b2 AS py
+    FROM hit h JOIN tris t ON t.tri_idx = h.ti
+),
+outside AS (
+    SELECT c.n FROM cells c
+    LEFT JOIN hit h ON c.ix = h.ix AND c.iy = h.iy
+    WHERE h.ti IS NULL
+)
+SELECT * FROM (
+    SELECT cast(floor(px) as bigint) AS bucket,
+           cast(sum(n) as bigint) AS n_points,
+           cast(sum(cast(round(px * 1000000e0) as bigint) * n) as bigint) AS sum_px_e6,
+           cast(sum(cast(round(py * 1000000e0) as bigint) * n) as bigint) AS sum_py_e6
+    FROM pred GROUP BY 1
+    UNION ALL
+    SELECT NULL, cast(sum(n) as bigint), NULL, NULL
+    FROM outside HAVING count(*) > 0
+)
+ORDER BY bucket NULLS LAST
+"""

@@ -793,3 +793,97 @@ def q_events_by_type(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# TIN driver-gate query (SURVEY op 15)
+# --------------------------------------------------------------------------
+
+# integer input lattice for the TIN gate: lon/lat mapped affinely onto
+# a slightly-padded copy of the china22 image bbox ([75,1018]x[64,942],
+# reference transforms.py:640-654 corner pseudo-GCPs make that bbox the
+# hull) and floored.  Integer coords < 2^11 keep every sign-test
+# product < 2^24, so the kernel's float32 arithmetic
+# (transforms.py:687-694) is EXACT and equals the oracle's float64.
+TIN_XLO, TIN_XHI = 28.0, 1065.0
+TIN_YLO, TIN_YHI = 20.0, 986.0
+TIN_SX = (TIN_XHI - TIN_XLO) / 360.0
+TIN_SY = (TIN_YHI - TIN_YLO) / 170.0
+
+_TIN_GATE_CACHE: dict = {}
+
+
+def tin_gate_model():
+    """Driver-side TIN fit on the china22 GCPs (integer pixel coords ->
+    geographic), shared by the Spark query and the DuckDB oracle.
+    Returns (tin_json, tris) with tris = [(tri_idx, (x1,y1,x2,y2,x3,y3),
+    (a0,a1,a2), (b0,b1,b2))] — per-triangle order-1 coefficient rows
+    px = a0*x + a1*y + a2, py = b0*x + b1*y + b2 (reference
+    transforms.py:666-683)."""
+    if "m" not in _TIN_GATE_CACHE:
+        import json as _json
+
+        from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+        from ..kernels import transforms as kt
+
+        tin = kt.TIN().fit(
+            [p[0] for p in CHINA22_IMPOINTS],
+            [p[1] for p in CHINA22_IMPOINTS],
+            [p[0] for p in CHINA22_GEOPOINTS],
+            [p[1] for p in CHINA22_GEOPOINTS],
+        )
+        tris = []
+        for i, (tri, tr) in enumerate(tin.tris):
+            (x1, y1), (x2, y2), (x3, y3) = tri
+            tris.append(
+                (
+                    i,
+                    tuple(float(v) for v in (x1, y1, x2, y2, x3, y3)),
+                    tuple(float(v) for v in tr.A[0]),
+                    tuple(float(v) for v in tr.A[1]),
+                )
+            )
+        _TIN_GATE_CACHE["m"] = (_json.dumps(tin.to_json()), tris)
+    return _TIN_GATE_CACHE["m"]
+
+
+def q_tin_transform(spark, sf_dir) -> DataFrame:
+    """SURVEY op 15 (TIN.predict) end-to-end through the pandas-UDF
+    kernel path: every extracted point is snapped to the integer gate
+    lattice, pushed through the FULL TIN kernel (float32 downcast,
+    boundary-inclusive sign tests, last-triangle-wins overwrite, NaN
+    outside the hull — reference transforms.py:685-715), then
+    aggregated per integer-degree bucket of the predicted longitude.
+
+    Cross-engine exactness: integer inputs make the float32 sign test
+    exact (products < 2^24); predictions are rounded PER POINT to e6
+    integers before summing, so double summation order cannot move the
+    hash; the only fp risk is numpy-dgemm-vs-SQL ulp at a rounding
+    boundary, empirically absent on the gate data (pinned in
+    tests/test_oracle_sql_validity.py)."""
+    from ..operators import udfs
+
+    tin_json, _ = tin_gate_model()
+    pts = points_df(spark, sf_dir)
+    ix = F.floor(F.lit(TIN_XLO) + (F.col("lon") + F.lit(180.0)) * F.lit(TIN_SX))
+    iy = F.floor(F.lit(TIN_YLO) + (F.col("lat") + F.lit(85.0)) * F.lit(TIN_SY))
+    lattice = pts.select(
+        ix.cast("double").alias("ix"), iy.cast("double").alias("iy")
+    )
+    out = lattice.select(
+        udfs.transform_xy(tin_json, F.col("ix"), F.col("iy")).alias("o")
+    ).select(F.col("o.px").alias("px"), F.col("o.py").alias("py"))
+    return (
+        out.select(
+            F.floor("px").cast("long").alias("bucket"),
+            _e(F.col("px"), 6).alias("pxe"),
+            _e(F.col("py"), 6).alias("pye"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("pxe").alias("sum_px_e6"),
+            F.sum("pye").alias("sum_py_e6"),
+        )
+        .orderBy(F.asc_nulls_last("bucket"))
+    )
