@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_cells": _shipped(q.q_mercator_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
+        "model_accuracy": _shipped(q.q_model_accuracy),
         "poly_roundtrip": _shipped(q.q_poly_roundtrip),
         "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "mercator_cells": oracles.mercator_cells(),
         "projective_transform": oracles.projective_transform(),
         "tin_transform": oracles.tin_transform(),
+        "model_accuracy": oracles.model_accuracy(),
         "quality_by_lang": oracles.quality_by_lang(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),

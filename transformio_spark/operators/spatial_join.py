@@ -232,17 +232,31 @@ def knn_join(
     for center sets too big to inline."""
     if inline:
         rows = centers.select("center_id", "lon", "lat").collect()
-        entries = [
-            F.struct(
+        # ONE nested literal array walked by a single transform (the
+        # IVF fold template, operators/similarity.py): the haversine
+        # expression tree appears once in the plan instead of once per
+        # center — ~|centers|x smaller analysis/codegen at identical
+        # math and identical (dist, center_id) sort order.
+        centers_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(float(r.lon)).alias("c_lon"),
+                    F.lit(float(r.lat)).alias("c_lat"),
+                    F.lit(r.center_id).alias("center_id"),
+                )
+                for r in rows
+            ]
+        )
+        entries = F.transform(
+            centers_lit,
+            lambda c: F.struct(
                 geo.haversine_km(
-                    F.col("lon"), F.col("lat"),
-                    F.lit(float(r.lon)), F.lit(float(r.lat)),
+                    F.col("lon"), F.col("lat"), c["c_lon"], c["c_lat"]
                 ).alias("dist_km"),
-                F.lit(r.center_id).alias("center_id"),
-            )
-            for r in rows
-        ]
-        topk = F.slice(F.array_sort(F.array(*entries)), 1, k)
+                c["center_id"].alias("center_id"),
+            ),
+        )
+        topk = F.slice(F.array_sort(entries), 1, k)
         out = points.select(
             "*", F.posexplode(topk).alias("_pos", "_nn")
         )

@@ -577,3 +577,27 @@ SELECT * FROM (
 )
 ORDER BY bucket NULLS LAST
 """
+
+
+def model_accuracy() -> str:
+    """Observable-refit residual metrics: same literal order-2
+    coefficient matrix, same R=6367 haversine, same RMSE/MAE/MAX over
+    the china22 GCP VALUES in row order."""
+    from ..functions.geo import polynomial_predict_sql
+    from .queries import model_accuracy_gate
+
+    A, gcps = model_accuracy_gate()
+    vals = ", ".join(
+        f"({sx!r}e0, {sy!r}e0, {dx!r}e0, {dy!r}e0)" for sx, sy, dx, dy in gcps
+    )
+    px, py = polynomial_predict_sql(A, 2, "sx", "sy")
+    hav = haversine_km_sql(f"({px})", f"({py})", "dx", "dy")
+    return f"""
+WITH g(sx, sy, dx, dy) AS (VALUES {vals}),
+r AS (SELECT {hav} AS r FROM g)
+SELECT cast(count(*) as bigint) AS n_points,
+       cast(round(sqrt(avg(r * r)) * 1000000e0) as bigint) AS rmse_e6,
+       cast(round(avg(abs(r)) * 1000000e0) as bigint) AS mae_e6,
+       cast(round(max(abs(r)) * 1000000e0) as bigint) AS max_e6
+FROM r
+"""

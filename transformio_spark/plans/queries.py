@@ -887,3 +887,48 @@ def q_tin_transform(spark, sf_dir) -> DataFrame:
         )
         .orderBy(F.asc_nulls_last("bucket"))
     )
+
+
+def model_accuracy_gate():
+    """Driver-side observable re-fit for the model_accuracy gate query
+    (reference accuracy.py:41-52 residuals + 75-96 metrics): Polynomial
+    order 2 re-fit on ALL china22 GCPs, coefficients shared with the
+    DuckDB oracle as literals."""
+    if "acc" not in _TIN_GATE_CACHE:
+        from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+        from ..kernels import transforms as kt
+
+        poly = kt.Polynomial(order=2).fit(
+            [p[0] for p in CHINA22_IMPOINTS],
+            [p[1] for p in CHINA22_IMPOINTS],
+            [p[0] for p in CHINA22_GEOPOINTS],
+            [p[1] for p in CHINA22_GEOPOINTS],
+        )
+        gcps = [
+            (float(ip[0]), float(ip[1]), float(gp[0]), float(gp[1]))
+            for ip, gp in zip(CHINA22_IMPOINTS, CHINA22_GEOPOINTS)
+        ]
+        _TIN_GATE_CACHE["acc"] = ([list(row) for row in poly.A], gcps)
+    return _TIN_GATE_CACHE["acc"]
+
+
+def q_model_accuracy(spark, sf_dir) -> DataFrame:
+    """SURVEY ops 18/20/21 relationally: residuals of the observable
+    re-fit (predict via the order-2 Column twin, geodesic R=6367
+    haversine against the observed GCP targets), then RMSE / MAE / MAX
+    as one aggregate row.  coalesce(1) pins double-summation order to
+    the GCP row order, matching the oracle's sequential VALUES scan."""
+    A, gcps = model_accuracy_gate()
+    df = spark.createDataFrame(
+        gcps, "sx double, sy double, dx double, dy double"
+    ).coalesce(1)
+    px, py = geo.polynomial_predict(A, 2, F.col("sx"), F.col("sy"))
+    # distance arg order (pred, obs) — reference accuracy.py:37
+    resid = geo.haversine_km(px, py, F.col("dx"), F.col("dy"))
+    r = df.select(resid.alias("r"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _e(F.sqrt(F.avg(F.col("r") * F.col("r"))), 6).alias("rmse_e6"),
+        _e(F.avg(F.abs(F.col("r"))), 6).alias("mae_e6"),
+        _e(F.max(F.abs(F.col("r"))), 6).alias("max_e6"),
+    )

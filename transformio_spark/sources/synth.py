@@ -33,6 +33,9 @@ _SPAN_FIELDS = "kind string, text string, media_ref string, offset int"
 # pure text-analysis operators.
 DOC_NUM_SQL = "(l_orderkey * 8 + l_linenumber)"
 
+# (session id, sf_dir) -> bool: does the local scan need a repartition?
+_REPARTITION_CACHE: dict = {}
+
 
 def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interleaved text+media docs table.
@@ -56,7 +59,15 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         f"{DOC_NUM_SQL} AS doc_num",
     )
-    if scan.rdd.getNumPartitions() < par:
+    # The plan->RDD probe costs a driver-side conversion per call; the
+    # answer only depends on (session, path), so cache the decision —
+    # 30+ gate queries otherwise re-probe the same scan.
+    cache_key = (id(spark), sf_dir)
+    need = _REPARTITION_CACHE.get(cache_key)
+    if need is None:
+        need = scan.rdd.getNumPartitions() < par
+        _REPARTITION_CACHE[cache_key] = need
+    if need:
         scan = scan.repartition(par, "doc_num")
     base = scan.selectExpr(
         "doc_num",
