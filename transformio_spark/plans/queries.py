@@ -600,20 +600,19 @@ def q_projective_transform(spark, sf_dir) -> DataFrame:
 def q_mercator_cells(spark, sf_dir) -> DataFrame:
     """MapProjection (SURVEY op 14, reference transforms.py:536-587)
     end-to-end: extracted lon/lat points → EPSG:4326→3857 via the
-    JSON-IR Chain(MapProjection) pandas-UDF kernel path (analytic
-    spherical-Mercator backend — pyproj-free) → 2000-km web-mercator
-    cell counts with meter-rounded coordinate sums.  Per-point integer
-    rounding before the sum keeps the cross-engine hash ulp-safe."""
-    import json as _json
-
+    Chain→Column COMPILER (operators/compiler.py — whole-stage
+    codegen, zero Python on this fully-analytic chain; the pandas-UDF
+    kernel route stays driver-covered by tin_transform/poly_roundtrip)
+    → 2000-km web-mercator cell counts with meter-rounded coordinate
+    sums.  Per-point integer rounding before the sum keeps the
+    cross-engine hash ulp-safe."""
     from ..kernels import Chain, MapProjection
-    from ..operators import udfs
+    from ..operators import compiler
 
     pts = points_df(spark, sf_dir)
     model = Chain([MapProjection("EPSG:4326", "EPSG:3857")])
-    out = udfs.with_transformed(
-        pts, _json.dumps(model.to_json()), x="lon", y="lat",
-        out_x="mx", out_y="my",
+    out = compiler.with_transformed_columns(
+        pts, model, x="lon", y="lat", out_x="mx", out_y="my",
     )
     cell = 2_000_000.0
     return (
