@@ -217,3 +217,23 @@ def test_worldfile_roundtrip_through_warp(tmp_path):
                   [affine[3], affine[4], affine[5]], [0, 0, 1]]),
         decimal=12,
     )
+
+
+def test_tiled_warp_crop_matches_full_bounds_kernel(spark):
+    """crop=True replicates the kernel's bounds branch (shift before
+    round + cropped-dims mask) — bit parity on a bounds-cropped warp
+    whose backpred min is fractional-positive (the case that diverges
+    without crop)."""
+    from transformio_spark.operators import raster
+
+    im = synth_image(256, seed=9)
+    trans = k.Affine(A=[[0.7, 0, -30.3], [0, 0.7, 12.7], [0, 0, 1]])
+    full, affine = kwarp.warp(im, trans, bounds=[40, 40, 120, 120], size=(96, 96))
+    tiles_df = raster.image_to_tiles(spark, im, tile=96)
+    out_tiles, a6 = raster.warp_tiled(
+        spark, tiles_df, (256, 256), json.dumps(trans.to_json()),
+        affine, (96, 96), out_tile=64, src_tile=96, crop=True,
+    )
+    assembled = raster.tiles_to_image(out_tiles.collect(), 96, 96)
+    assert a6 == pytest.approx(affine)
+    assert_array_equal(assembled, full)

@@ -232,11 +232,15 @@ def _parse_pnm(data: bytes) -> np.ndarray:
 def load_image(src: str) -> np.ndarray:
     """Resolve a string image source for warp (reference imwarp.py:
     92-96 accepts http URLs and decodes via PIL).  PIL is unavailable
-    here, so two self-describing PUBLIC formats are decoded natively:
-    numpy .npy and binary PPM/PGM; other formats raise with a clear
-    message.  http(s)/file URLs fetch via urllib; plain paths open
-    directly (a superset of the reference, which only special-cases
-    http)."""
+    here, so self-describing PUBLIC formats are decoded natively:
+    numpy .npy, binary PPM/PGM, PNG (kernels/png.py — 8-bit
+    gray/palette/RGB(A), the reference's land_shallow_topo_2048.png
+    fixture decodes end-to-end), and baseline TIFF (kernels/tiff.py —
+    8-bit strip LZW/uncompressed, covers the .tif sibling fixture).
+    JPEG (a DCT codec, out of natural scope for a data engine) raises
+    with a clear message.  http(s)/file URLs fetch via urllib; plain
+    paths open directly (a superset of the reference, which only
+    special-cases http)."""
     import io
     import urllib.request
 
@@ -250,9 +254,16 @@ def load_image(src: str) -> np.ndarray:
         return np.load(io.BytesIO(data), allow_pickle=False)
     if data[:2] in (b"P6", b"P5"):
         return _parse_pnm(data)
+    from . import png, tiff
+
+    if png.is_png(data):
+        return png.decode_png(data)
+    if tiff.is_tiff(data):
+        return tiff.decode_tiff(data)
     raise ValueError(
         "unsupported image format (PIL is not available in this "
-        "environment) — provide .npy or binary PPM/PGM"
+        "environment) — provide .npy, binary PPM/PGM, PNG, or "
+        "baseline TIFF"
     )
 
 

@@ -87,6 +87,7 @@ def warp_tiled(
     out_tile: int = 256,
     nbands: int = 4,
     src_tile: int | None = None,
+    crop: bool = False,
 ) -> tuple[DataFrame, list]:
     """Distributed backward-mapping warp.  Returns (out_tiles_df,
     affine6).  ``affine``/``size`` are the EXACT output geometry (use
@@ -95,7 +96,16 @@ def warp_tiled(
     bounds keeps output pixel centers bit-identical to the
     single-array kernel, so np.around can never flip).  Pass
     ``src_tile`` (the source grid pitch) to turn the source-pruning
-    join into a hash equi-join (see phase 2 below)."""
+    join into a hash equi-join (see phase 2 below).
+
+    ``crop=True`` replicates the kernel's crop-to-relevant-input
+    branch (kernels/warp.py bounds path == reference imwarp.py:
+    234-251): backpredicted coords are SHIFTED by the global valid
+    minimum before rounding and bounds-checked against the cropped
+    dims — a different sampling lattice than the uncropped path, so
+    it must be replicated for bit parity whenever the kernel ran with
+    ``bounds=``.  Costs one extra distributed backpred pass (phase 0)
+    to reduce the 4 global extrema to the driver."""
     imw, imh = src_size
     w, h = size
     xscale, _, xoff, _, yscale, yoff = affine
@@ -115,6 +125,47 @@ def warp_tiled(
         bx, by = inv.predict(xs, ys)
         return bx, by
 
+    # phase 0 (crop only): global valid-coordinate extrema -> the
+    # kernel's crop box + pre-round shift (per-axis NaN filtering,
+    # same as the kernel)
+    sx = sy = 0.0
+    left_off = upper_off = 0
+    eff_w, eff_h = imw, imh
+    if crop:
+        def minmax_iter(batches):
+            for pdf in batches:
+                o = {"bxmin": [], "bxmax": [], "bymin": [], "bymax": []}
+                for row in pdf.itertuples():
+                    bx, by = backpred_for(row)
+                    xv, yv = ~np.isnan(bx), ~np.isnan(by)
+                    o["bxmin"].append(float(bx[xv].min()) if xv.any() else np.inf)
+                    o["bxmax"].append(float(bx[xv].max()) if xv.any() else -np.inf)
+                    o["bymin"].append(float(by[yv].min()) if yv.any() else np.inf)
+                    o["bymax"].append(float(by[yv].max()) if yv.any() else -np.inf)
+                yield pd.DataFrame(o)
+
+        mm = (
+            grid_df.mapInPandas(
+                minmax_iter, "bxmin double, bxmax double, bymin double, bymax double"
+            )
+            .agg(
+                F.min("bxmin").alias("a"), F.max("bxmax").alias("b"),
+                F.min("bymin").alias("c"), F.max("bymax").alias("d"),
+            )
+            .collect()[0]
+        )
+        bxmin, bxmax, bymin, bymax = mm
+        # kernel crop box (PIL-crop exclusive-end quirk preserved)
+        left = int(round(max(bxmin, 0)))
+        upper = int(round(max(bymin, 0)))
+        right = int(round(min(bxmax, imw - 1)))
+        lower = int(round(min(bymax, imh - 1)))
+        left_off, upper_off = max(left, 0), max(upper, 0)
+        eff_w = max(right, 0) - left_off
+        eff_h = max(lower, 0) - upper_off
+        sx = bxmin if bxmin > 0 else 0.0
+        sy = bymin if bymin > 0 else 0.0
+
     # phase 1: per-output-tile integer source bbox
     def bbox_iter(batches):
         for pdf in batches:
@@ -125,8 +176,8 @@ def warp_tiled(
                 out["otx"].append(row.otx)
                 out["oty"].append(row.oty)
                 if ok.any():
-                    ci = np.around(bx[ok], 0).astype(int)
-                    ri = np.around(by[ok], 0).astype(int)
+                    ci = np.around(bx[ok] - sx, 0).astype(int) + left_off
+                    ri = np.around(by[ok] - sy, 0).astype(int) + upper_off
                     out["cmin"].append(int(ci.min()))
                     out["cmax"].append(int(ci.max()))
                     out["rmin"].append(int(ri.min()))
@@ -243,15 +294,19 @@ def warp_tiled(
                 bpc = bx.reshape((oh, ow))
                 bpr = by.reshape((oh, ow))
                 valid = ~(np.isnan(bpc) | np.isnan(bpr))
-                bpc = np.around(bpc, 0).astype(int)
-                bpr = np.around(bpr, 0).astype(int)
-                # same full-source bounds mask as the single-array kernel
-                inb = (bpc >= 0) & (bpc < imw) & (bpr >= 0) & (bpr < imh)
+                # crop path: shift BEFORE rounding and bounds-check
+                # against cropped dims (kernel bounds branch); sx=sy=0
+                # and eff==im dims otherwise — identical lattice
+                bpc = np.around(bpc - sx, 0).astype(int)
+                bpr = np.around(bpr - sy, 0).astype(int)
+                inb = (bpc >= 0) & (bpc < eff_w) & (bpr >= 0) & (bpr < eff_h)
                 mask = valid & inb
+                src_c = bpc[mask] + left_off - c0
+                src_r = bpr[mask] + upper_off - r0
                 if nbands == 4:
-                    out[mask] = mosaic[bpr[mask] - r0, bpc[mask] - c0]
+                    out[mask] = mosaic[src_r, src_c]
                 else:
-                    out[mask, :3] = mosaic[bpr[mask] - r0, bpc[mask] - c0]
+                    out[mask, :3] = mosaic[src_r, src_c]
                     out[mask, -1] = 255
         return pd.DataFrame(
             {
