@@ -271,7 +271,18 @@ def test_ivf_tie_margin_on_gate_data():
     BOTH gate scale factors for the gate query's (seed, n_probe)."""
     import duckdb
 
-    cents = np.array(similarity.ivf_centroids(dim=64, n_cells=16, seed=11))
+    from transformio_spark.plans.queries import trained_ivf_centroids
+
+    for cents in (
+        np.array(similarity.ivf_centroids(dim=64, n_cells=16, seed=11)),
+        np.array(trained_ivf_centroids(n_cells=16, seed=11)),
+    ):
+        _assert_gaps(cents)
+
+
+def _assert_gaps(cents):
+    import duckdb
+
     for sf in ("sf0.001", "sf0.01"):
         vecs = (
             duckdb.sql(
@@ -285,3 +296,36 @@ def test_ivf_tie_margin_on_gate_data():
         for n_probe in (1, 2, 3):  # corpus assignment + gate n_probe=2 + margin
             gap = float(np.min(D[:, n_probe - 1] - D[:, n_probe]))
             assert gap > 1e-9, (sf, n_probe, gap)
+
+
+def _recall_vs_exact(embeddings, cents, n_probe, k=5):
+    queries = embeddings.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "unit"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 30)
+    exact = similarity.brute_force_topk(corpus, queries, k=k).collect()
+    approx = similarity.ivf_topk(corpus, queries, cents, k=k, n_probe=n_probe).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.nb_id)
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.nb_id)
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    return hits / sum(len(v) for v in ex.values())
+
+
+def test_ivf_trained_centroids_beat_random(embeddings):
+    """The round-2 gap: random-direction centroids left recall on the
+    table.  Trained (spherical k-means on the corpus sample) must give
+    >= recall at EQUAL n_probe, and strictly better somewhere."""
+    from transformio_spark.plans.queries import trained_ivf_centroids
+
+    rand = similarity.ivf_centroids(dim=64, n_cells=16, seed=11)
+    trained = trained_ivf_centroids(n_cells=16, seed=11)
+    gains = []
+    for n_probe in (1, 2):
+        r_rand = _recall_vs_exact(embeddings, rand, n_probe)
+        r_trained = _recall_vs_exact(embeddings, trained, n_probe)
+        gains.append((n_probe, r_rand, r_trained))
+        assert r_trained >= r_rand, gains
+    assert any(t > r for _, r, t in gains), gains

@@ -78,14 +78,40 @@ def lsh_bucket(unit_col, planes: list[list[float]]):
 
 
 def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
-    """Deterministic unit-norm centroids (seeded Gaussian directions).
-    A production pipeline would k-means these on a sample; fixed
-    random directions keep the partitioning deterministic and
-    oracle-expressible while exercising the identical plan shape."""
+    """Deterministic unit-norm centroids (seeded Gaussian directions) —
+    the UNTRAINED baseline.  Production path: ivf_train_centroids on a
+    corpus sample (both are driver-side literals, so the algorithmic
+    oracle stays exact either way)."""
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_cells, dim))
     c /= np.linalg.norm(c, axis=1, keepdims=True)
     return c.tolist()
+
+
+def ivf_train_centroids(
+    units: np.ndarray, n_cells: int, seed: int = 11, iters: int = 10
+) -> list[list[float]]:
+    """Seeded spherical k-means (Lloyd) over a driver-side sample of
+    unit vectors — the IVF-Flat training step.  Assignment by max dot
+    (== min angle on unit vectors), update = renormalized mean; empty
+    cells keep their previous centroid.  Deterministic for a fixed
+    (sample, seed), so trained centroids embed as literals and the
+    exact algorithmic DuckDB oracle keeps working.  At 10^12 rows the
+    sample is a bounded collect (<=~10k vectors); training cost is
+    driver-side numpy, amortized across the whole scan."""
+    U = np.asarray(units, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = U[rng.choice(len(U), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(U @ C.T, axis=1)
+        for c in range(n_cells):
+            members = U[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    C[c] = v / norm
+    return C.tolist()
 
 
 def _cell_rank_array(unit_col, cents: list[list[float]]):

@@ -362,9 +362,9 @@ def embedding_ivf(
     """Exact SQL twin of the IVF query: same literal centroids, same
     nearest-cell assignment (dot desc, cell asc tie-break), same
     n_probe probing and cosine re-rank."""
-    from ..operators.similarity import ivf_centroids
+    from .queries import trained_ivf_centroids
 
-    cents = ivf_centroids(dim=dim, n_cells=n_cells, seed=seed)
+    cents = trained_ivf_centroids(n_cells=n_cells, seed=seed)
     cent_rows = ", ".join(
         f"({i}, [{', '.join(_dlit(v) for v in c)}])"
         for i, c in enumerate(cents)

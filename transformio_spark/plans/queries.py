@@ -460,7 +460,7 @@ def q_embedding_ivf(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("query_id"), "unit"
     )
     corpus = emb.where(F.col("vec_id") >= 10)
-    cents = similarity.ivf_centroids(dim=64, n_cells=16, seed=11)
+    cents = trained_ivf_centroids()
     out = similarity.ivf_topk(corpus, queries_df, cents, k=5, n_probe=2)
     return out.select(
         "query_id",
@@ -931,3 +931,28 @@ def q_model_accuracy(spark, sf_dir) -> DataFrame:
         _e(F.avg(F.abs(F.col("r"))), 6).alias("mae_e6"),
         _e(F.max(F.abs(F.col("r"))), 6).alias("max_e6"),
     )
+
+
+def trained_ivf_centroids(n_cells: int = 16, seed: int = 11) -> list[list[float]]:
+    """K-means-TRAINED IVF centroids (operators/similarity.
+    ivf_train_centroids) on the fixed sf0.001 embedding sample — a
+    deterministic driver-side constant shared by q_embedding_ivf and
+    its DuckDB oracle, exactly like the GCP-fit literals.  Training on
+    a pinned sample (not the queried sf_dir) is what a production
+    pipeline does too: centroids are fitted once on a corpus sample,
+    then reused across partitions/runs."""
+    key = ("ivf_trained", n_cells, seed)
+    if key not in _TIN_GATE_CACHE:
+        import duckdb as _duckdb
+        import numpy as _np
+
+        from ..operators.similarity import ivf_train_centroids
+
+        vecs = _duckdb.sql(
+            "select embedding from '/root/testdata/sf0.001/embeddings.parquet' "
+            "order by vec_id"
+        ).fetchnumpy()["embedding"]
+        U = _np.array([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        U /= _np.linalg.norm(U, axis=1, keepdims=True)
+        _TIN_GATE_CACHE[key] = ivf_train_centroids(U, n_cells=n_cells, seed=seed)
+    return _TIN_GATE_CACHE[key]
