@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_transform": _shipped(q.q_vector_transform),
         "poly2_transform": _shipped(q.q_poly2_transform),
         "mercator_cells": _shipped(q.q_mercator_cells),
+        "mollweide_cells": _shipped(q.q_mollweide_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_transform": oracles.vector_transform(),
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
+        "mollweide_cells": oracles.mollweide_cells(),
         "projective_transform": oracles.projective_transform(),
         "tin_transform": oracles.tin_transform(),
         "model_accuracy": oracles.model_accuracy(),

@@ -1,0 +1,271 @@
+"""Analytic world-projection backends (kernels/projections.py).
+
+Covers the reference's projection test surface (reference
+tests/test_image_projections.py:24-46: Robinson ESRI:54030, Mollweide
+ESRI:54009, Van der Grinten ESRI:54029, Arctic/Antarctic polar
+stereographic EPSG:3995/3031) without pyproj — public Snyder / EPSG
+GN7-2 formulas, verified by published anchors, roundtrips, and the
+real satellite fixture end-to-end through warp.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transformio_spark.kernels import projections as pj
+from transformio_spark.kernels import transforms as kt
+from transformio_spark.kernels import warp as kwarp
+from transformio_spark.sources.worldfile import read_worldfile
+
+FIXDIR = "/root/reference/tests/data"
+R = pj.R_SPHERE
+LONGLAT = "+proj=longlat +datum=WGS84 +no_defs "  # the reference's fromcrs
+
+GRID_LON = np.linspace(-179.5, 179.5, 211)
+GRID_LAT = np.linspace(-89.5, 89.5, 211)
+
+
+# ---------------------------------------------------------------------------
+# kernel anchors + roundtrips
+# ---------------------------------------------------------------------------
+
+def test_mollweide_anchors():
+    # (0,0) -> (0,0); poles -> (0, +-sqrt(2) R); equator x = 2*sqrt(2)*R*lam/pi
+    x, y = pj.mollweide_forward(0.0, 0.0)
+    assert x == 0.0 and y == 0.0
+    x, y = pj.mollweide_forward(0.0, 90.0)
+    assert x == 0.0 and y == pytest.approx(math.sqrt(2) * R, abs=1e-3)
+    x, y = pj.mollweide_forward(180.0, 0.0)
+    assert x == pytest.approx(2 * math.sqrt(2) * R, rel=1e-12)
+    # the defining equation 2*theta + sin(2*theta) = pi*sin(lat) holds
+    x, y = pj.mollweide_forward(45.0, 50.0)
+    th = math.asin(float(y) / (math.sqrt(2) * R))
+    assert 2 * th + math.sin(2 * th) == pytest.approx(
+        math.pi * math.sin(math.radians(50.0)), abs=1e-12
+    )
+
+
+def test_mollweide_fixed_iteration_is_converged():
+    """MOLL_NEWTON_ITERS reaches a double fixed point: more iterations
+    change nothing, anywhere (incl. the poles)."""
+    lat = np.concatenate([GRID_LAT, [-90.0, 90.0, 89.9999, -89.9999]])
+    lon = np.zeros_like(lat)
+    _, y30 = pj.mollweide_forward(lon, lat)
+    orig = pj.MOLL_NEWTON_ITERS
+    try:
+        pj.MOLL_NEWTON_ITERS = 60
+        _, y60 = pj.mollweide_forward(lon, lat)
+    finally:
+        pj.MOLL_NEWTON_ITERS = orig
+    assert_equal = np.testing.assert_array_equal
+    assert_equal(y30, y60)
+
+
+def test_robinson_table_nodes_exact():
+    # at table latitudes the spline interpolates exactly
+    x, y = pj.robinson_forward(100.0, 45.0)
+    assert x == pytest.approx(0.8487 * R * 0.8962 * math.radians(100.0), rel=1e-12)
+    assert y == pytest.approx(1.3523 * R * 0.5571, rel=1e-12)
+    x, y = pj.robinson_forward(180.0, 0.0)
+    assert x == pytest.approx(0.8487 * R * math.pi, rel=1e-12)
+    assert y == 0.0
+    x, y = pj.robinson_forward(0.0, -90.0)
+    assert y == pytest.approx(-1.3523 * R, rel=1e-12)
+
+
+def test_vandergrinten_anchors():
+    # equator is true-scale: x = R*lam; poles at y = +-pi*R
+    x, y = pj.vandergrinten_forward(90.0, 0.0)
+    assert x == pytest.approx(R * math.pi / 2, rel=1e-12) and y == 0.0
+    x, y = pj.vandergrinten_forward(30.0, 90.0)
+    assert x == 0.0 and y == pytest.approx(math.pi * R, rel=1e-12)
+    x, y = pj.vandergrinten_forward(-60.0, -90.0)
+    assert y == pytest.approx(-math.pi * R, rel=1e-12)
+
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.4 variant B worked example
+    (WGS 84 / Australian Antarctic Polar Stereographic): lat_ts=-71,
+    lon0=70, FE=FN=6000000; (120E, 75S) -> E 7255380.79 N 7053389.56."""
+    E, N = pj.polar_stereographic_forward(
+        120.0, -75.0, lat_ts=-71.0, lon0=70.0, fe=6_000_000.0, fn=6_000_000.0
+    )
+    assert E == pytest.approx(7255380.79, abs=0.01)
+    assert N == pytest.approx(7053389.56, abs=0.01)
+    lon, lat = pj.polar_stereographic_inverse(
+        E, N, lat_ts=-71.0, lon0=70.0, fe=6_000_000.0, fn=6_000_000.0
+    )
+    assert lon == pytest.approx(120.0, abs=1e-9)
+    assert lat == pytest.approx(-75.0, abs=1e-9)
+
+
+def test_polar_stereographic_poles_and_true_scale():
+    for lat_ts in (71.0, -71.0):
+        pole = 90.0 if lat_ts > 0 else -90.0
+        E, N = pj.polar_stereographic_forward(0.0, pole, lat_ts=lat_ts)
+        assert E == 0.0 and N == 0.0
+        # scale factor ~= 1 along the standard parallel (finite diff)
+        d = 1e-6
+        E1, N1 = pj.polar_stereographic_forward(0.0, lat_ts - d, lat_ts=lat_ts)
+        E2, N2 = pj.polar_stereographic_forward(0.0, lat_ts + d, lat_ts=lat_ts)
+        ground = np.radians(2 * d) * pj.A_WGS84 * (
+            (1 - pj.F_WGS84) ** 2
+            / (1 - (2 * pj.F_WGS84 - pj.F_WGS84**2) * np.sin(np.radians(lat_ts)) ** 2)
+            ** 1.5
+        )
+        grid = math.hypot(float(E2 - E1), float(N2 - N1))
+        assert grid / ground == pytest.approx(1.0, rel=1e-6)
+
+
+@pytest.mark.parametrize(
+    "code", ["ESRI:54009", "ESRI:54030", "ESRI:54029", "EPSG:3995", "EPSG:3031"]
+)
+def test_projection_roundtrip(code):
+    fwd_maker, inv_maker = pj.ANALYTIC_PROJECTIONS[code]
+    fwd, inv = fwd_maker(), inv_maker()
+    x, y = fwd.transform(GRID_LON, GRID_LAT)
+    lon, lat = inv.transform(x, y)
+    np.testing.assert_allclose(lon, GRID_LON, atol=1e-9)
+    np.testing.assert_allclose(lat, GRID_LAT, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# MapProjection registry integration
+# ---------------------------------------------------------------------------
+
+def test_map_projection_accepts_reference_crs_specs():
+    """The exact (fromcrs, tocrs) pairs the reference's projection
+    tests pass (proj4 longlat string + lowercase authority codes)
+    resolve to analytic backends without pyproj."""
+    for code in ("esri:54030", "esri:54009", "esri:54029", "epsg:3995", "epsg:3031"):
+        mp = kt.MapProjection(LONGLAT, code)
+        x, y = mp.predict(GRID_LON, GRID_LAT)
+        lon, lat = mp.inverse().predict(x, y)
+        np.testing.assert_allclose(lon, GRID_LON, atol=1e-9)
+        np.testing.assert_allclose(lat, GRID_LAT, atol=1e-9)
+        # JSON IR roundtrip keeps the backend
+        js = mp.to_json()
+        again = kt.MapProjection.from_json(js)
+        x2, y2 = again.predict(GRID_LON[:5], GRID_LAT[:5])
+        np.testing.assert_array_equal(x[:5], x2)
+
+
+def test_unknown_pair_still_raises_without_pyproj():
+    try:
+        import pyproj  # noqa: F401
+
+        pytest.skip("pyproj present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pyproj"):
+        kt.MapProjection(LONGLAT, "epsg:5939")
+
+
+# ---------------------------------------------------------------------------
+# Column / SQL twins (Mollweide Newton fold)
+# ---------------------------------------------------------------------------
+
+def test_mollweide_column_twin_matches_kernel(spark):
+    from transformio_spark.functions import geo
+
+    kx, ky = pj.mollweide_forward(GRID_LON, GRID_LAT)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(GRID_LON, GRID_LAT)],
+        "lon double, lat double",
+    )
+    cx, cy = geo.mollweide_forward(F.col("lon"), F.col("lat"))
+    pdf = df.select(cx.alias("x"), cy.alias("y")).toPandas()
+    # JVM libm ulp differences through 30 Newton steps: nanometer scale
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+
+
+def test_mollweide_sql_twin_bit_equal_to_kernel():
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    kx, ky = pj.mollweide_forward(GRID_LON, GRID_LAT)
+    sx, sy = geo.mollweide_forward_sql("lon", "lat")
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": GRID_LON, "lat": GRID_LAT}))
+    d = con.sql(f"select {sx} as x, {sy} as y from pts").df()
+    np.testing.assert_array_equal(d.x.values, kx)
+    np.testing.assert_array_equal(d.y.values, ky)
+
+
+def test_mollweide_chain_compiles_to_pure_codegen(spark):
+    from transformio_spark.operators import compiler
+
+    df = spark.range(100).select(
+        (F.col("id") * 3.0 - 150.0).alias("lon"),
+        (F.col("id") * 1.5 - 75.0).alias("lat"),
+    )
+    model = kt.Chain([kt.MapProjection("EPSG:4326", "ESRI:54009")])
+    out = compiler.with_transformed_columns(df, model, x="lon", y="lat")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# the reference's test_image_projections flow on the real fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def land_im():
+    from transformio_spark.kernels import tiff
+
+    with open(f"{FIXDIR}/land_shallow_topo_2048.tif", "rb") as f:
+        return tiff.decode_tiff(f.read())
+
+
+# self-goldens: adler32 of the warped RGBA output, pinned so
+# projection-kernel regressions are caught bit-level.  alpha_frac is
+# the fraction of output pixels covered — for Mollweide and Van der
+# Grinten the world fills an ellipse/circle in its bounding box, so
+# the analytic expectation is exactly pi/4.
+_WARP_GOLDEN = {
+    "esri:54030": (3999329602, 0.873),
+    "esri:54009": (1924531623, 0.784),
+    "esri:54029": (2810491319, 0.784),
+}
+# polar stereographic degenerates at the opposite pole (t -> inf), so
+# like the reference's web-Mercator clip the test warps an explicit
+# polar-cap extent (the reference's own 3995/3031 tests only save the
+# auto-bounds output to disk, asserting nothing about it)
+_POLAR_GOLDEN = {"epsg:3995": 1252176854, "epsg:3031": 1814682708}
+
+
+@pytest.mark.parametrize("tocrs", sorted(_WARP_GOLDEN))
+def test_world_satellite_reprojection(tocrs, land_im):
+    """reference tests/test_image_projections.py:16-22 end-to-end:
+    fitbounds affine + MapProjection chain through warp on the real
+    satellite TIFF (auto image bounds, like the reference)."""
+    golden, alpha_frac = _WARP_GOLDEN[tocrs]
+    aff = read_worldfile(f"{FIXDIR}/land_shallow_topo_2048.wld")
+    proj = kt.MapProjection(LONGLAT, tocrs)
+    out, a6 = kwarp.warp(land_im, kt.Chain([aff, proj]), size=(256, 128))
+    assert out.shape == (128, 256, 4)
+    assert np.isfinite(a6).all()
+    assert out[..., 3].mean() / 255 == pytest.approx(alpha_frac, abs=0.01)
+    assert zlib.adler32(out.tobytes()) == golden
+
+
+@pytest.mark.parametrize("tocrs", sorted(_POLAR_GOLDEN))
+def test_polar_satellite_reprojection(tocrs, land_im):
+    aff = read_worldfile(f"{FIXDIR}/land_shallow_topo_2048.wld")
+    proj = kt.MapProjection(LONGLAT, tocrs)
+    b = 4_500_000.0
+    out, a6 = kwarp.warp(
+        land_im, kt.Chain([aff, proj]), size=(256, 256), bounds=[-b, -b, b, b]
+    )
+    assert out.shape == (256, 256, 4)
+    assert a6[:3] == [35156.25, 0, -4_500_000.0]
+    assert out[..., 3].mean() / 255 > 0.99
+    assert zlib.adler32(out.tobytes()) == _POLAR_GOLDEN[tocrs]

@@ -111,6 +111,30 @@ def mercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+def mollweide_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """lon/lat deg -> Mollweide (ESRI:54009) meters as pure Column
+    arithmetic — the codegen twin of
+    kernels.projections.mollweide_forward.  The Newton solve for
+    theta' runs as an F.aggregate fold over MOLL_NEWTON_ITERS dummy
+    elements, so the expression tree is LINEAR in the iteration count
+    (a naive unroll would be 3^N: the accumulator appears three times
+    per step) and the op sequence matches the numpy kernel exactly."""
+    from ..kernels.projections import MOLL_NEWTON_ITERS, R_SPHERE
+
+    pi = 3.141592653589793
+    lam = F.radians(lon)
+    phi = F.radians(lat)
+    c = F.lit(pi) * F.sin(phi)
+    th = F.aggregate(
+        F.array_repeat(F.lit(0.0), MOLL_NEWTON_ITERS),
+        phi.cast("double"),
+        lambda acc, _: acc - (acc + F.sin(acc) - c) / (F.lit(1.0) + F.cos(acc)),
+    ) / F.lit(2.0)
+    x = F.lit(2.0 * 2.0 ** 0.5 / pi * R_SPHERE) * lam * F.cos(th)
+    y = F.lit(2.0 ** 0.5 * R_SPHERE) * F.sin(th)
+    return x, y
+
+
 # ---------------------------------------------------------------------------
 # SQL text twins (for the DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -157,6 +181,25 @@ def mercator_inverse_sql(x: str, y: str) -> tuple[str, str]:
     lon = f"degrees(({x}) / 6378137.0e0)"
     lat = f"degrees(2.0e0 * atan(exp(({y}) / 6378137.0e0)) - 1.5707963267948966e0)"
     return lon, lat
+
+
+def mollweide_forward_sql(lon: str, lat: str) -> tuple[str, str]:
+    """SQL twin of mollweide_forward: the same fixed-count Newton fold
+    via DuckDB list_reduce (first list element is the initial
+    accumulator, so the list is [phi, 0 x N] for N iterations)."""
+    from ..kernels.projections import MOLL_NEWTON_ITERS, R_SPHERE
+
+    zeros = ", ".join(["0e0"] * MOLL_NEWTON_ITERS)
+    c = f"(pi() * sin(radians({lat})))"
+    th = (
+        f"(list_reduce([cast(radians({lat}) as double), {zeros}], "
+        f"(acc, i) -> acc - (acc + sin(acc) - {c}) / (1.0e0 + cos(acc))) / 2.0e0)"
+    )
+    xs = 2.0 * 2.0 ** 0.5 / 3.141592653589793 * R_SPHERE
+    ys = 2.0 ** 0.5 * R_SPHERE
+    x = f"({xs!r} * radians({lon}) * cos({th}))"
+    y = f"({ys!r} * sin({th}))"
+    return x, y
 
 
 def dlit_sql(c: float) -> str:

@@ -1,0 +1,375 @@
+"""Analytic map-projection backends (no pyproj required).
+
+The reference's MapProjection (reference transforms.py:536-587)
+delegates every CRS pair to pyproj/PROJ; its projection test surface
+(reference tests/test_image_projections.py:24-46) exercises six world
+projections.  pyproj is OPTIONAL in this sandbox, so the pairs a
+transformio user actually hits are reimplemented here from the public
+formulas — EPSG Guidance Note 7-2 and Snyder, *Map Projections: A
+Working Manual* (USGS PP 1395):
+
+- Mollweide        (ESRI:54009) — Snyder p.251-252, sphere
+- Robinson         (ESRI:54030) — Robinson's published 5-degree table
+                    + natural cubic spline (Snyder p.82-83)
+- Van der Grinten I (ESRI:54029) — Snyder p.239-241, sphere
+- Polar Stereographic variant B (EPSG:3995 Arctic lat_ts=71,
+                    EPSG:3031 Antarctic lat_ts=-71) — EPSG GN7-2
+                    §3.2.4, WGS84 ellipsoid
+
+Sphere-radius convention: PROJ evaluates these spherical-only
+projections on an ellipsoidal CRS using the semi-major axis as the
+sphere radius, so R = 6378137.0 (WGS84 a) throughout.
+
+All functions are whole-array numpy (vectorized, no Python loops per
+point) — the same kernel runs driver-side, inside Arrow pandas UDFs,
+and (for Mollweide) has a pure-Column/SQL twin in functions/geo.py
+whose fixed-iteration Newton matches MOLL_NEWTON_ITERS here exactly.
+
+EPSG:5939 (the reference's sixth projection) is a conic zone whose
+authority parameters are not reproducible offline; it stays
+pyproj-gated in MapProjection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+R_SPHERE = A_WGS84  # PROJ's a-as-sphere for spherical-only projections
+
+# Fixed Newton iteration count for Mollweide theta — 30 reaches a
+# double-precision fixed point for every latitude incl. the poles
+# (verified in tests); fixed count (not a tolerance loop) so the
+# numpy kernel, the Spark Column fold, and the DuckDB list_reduce
+# oracle run the *identical* operation sequence.
+MOLL_NEWTON_ITERS = 30
+
+_SQRT2 = np.sqrt(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (Snyder p.251-252)
+# ---------------------------------------------------------------------------
+
+def mollweide_forward(lon, lat, radius: float = R_SPHERE):
+    """lon/lat deg -> Mollweide meters.  theta' (=2*theta) solves
+    theta' + sin(theta') = pi*sin(lat) by MOLL_NEWTON_ITERS Newton
+    steps starting at lat (radians)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    c = np.pi * np.sin(phi)
+    th = phi.copy()
+    for _ in range(MOLL_NEWTON_ITERS):
+        th = th - (th + np.sin(th) - c) / (1.0 + np.cos(th))
+    th = th / 2.0
+    x = (2.0 * _SQRT2 / np.pi) * radius * lam * np.cos(th)
+    y = _SQRT2 * radius * np.sin(th)
+    return x, y
+
+
+def mollweide_inverse(x, y, radius: float = R_SPHERE):
+    """Mollweide meters -> lon/lat deg (closed form, Snyder p.252)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    th = np.arcsin(np.clip(y / (_SQRT2 * radius), -1.0, 1.0))
+    lat = np.degrees(np.arcsin(np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0)))
+    lon = np.degrees(np.pi * x / (2.0 * _SQRT2 * radius * np.cos(th)))
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Robinson (published 5-degree table; Snyder p.82-83)
+# ---------------------------------------------------------------------------
+
+# Robinson's table: latitude 0..90 step 5; X = length of parallel
+# relative to equator, Y = distance of parallel from equator relative
+# to the pole distance.  x = 0.8487*R*X*lam, y = 1.3523*R*Y*sign(phi).
+_ROBINSON_LATS = np.arange(0.0, 95.0, 5.0)
+_ROBINSON_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBINSON_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+_ROBINSON_XSCALE = 0.8487
+_ROBINSON_YSCALE = 1.3523
+
+
+def _natural_cubic_coeffs(xs, ys):
+    """Second derivatives for a natural cubic spline (Thomas solve)."""
+    n = len(xs)
+    h = np.diff(xs)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 6.0 * ((ys[2:] - ys[1:-1]) / h[1:] - (ys[1:-1] - ys[:-2]) / h[:-1])
+    diag = np.ones(n)
+    diag[1:-1] = 2.0 * (h[:-1] + h[1:])
+    lower = np.zeros(n - 1)
+    upper = np.zeros(n - 1)
+    lower[:-1] = h[:-1]
+    upper[1:] = h[1:]
+    # natural boundary: M0 = Mn-1 = 0 (diag already 1, rhs 0)
+    lower = lower.copy()
+    upper = upper.copy()
+    cp = np.zeros(n - 1)
+    dp = np.zeros(n)
+    cp[0] = upper[0] / diag[0]
+    dp[0] = rhs[0] / diag[0]
+    for i in range(1, n - 1):
+        m = diag[i] - lower[i - 1] * cp[i - 1]
+        cp[i] = upper[i] / m
+        dp[i] = (rhs[i] - lower[i - 1] * dp[i - 1]) / m
+    dp[n - 1] = (rhs[n - 1] - lower[n - 2] * dp[n - 2]) / (
+        diag[n - 1] - lower[n - 2] * cp[n - 2]
+    )
+    M = np.zeros(n)
+    M[n - 1] = dp[n - 1]
+    for i in range(n - 2, -1, -1):
+        M[i] = dp[i] - cp[i] * M[i + 1]
+    return M
+
+
+_ROBINSON_MX = _natural_cubic_coeffs(_ROBINSON_LATS, _ROBINSON_X)
+_ROBINSON_MY = _natural_cubic_coeffs(_ROBINSON_LATS, _ROBINSON_Y)
+
+
+def _spline_eval(xs, ys, M, q):
+    q = np.clip(q, xs[0], xs[-1])
+    i = np.clip(np.searchsorted(xs, q, side="right") - 1, 0, len(xs) - 2)
+    h = xs[i + 1] - xs[i]
+    a = (xs[i + 1] - q) / h
+    b = (q - xs[i]) / h
+    return (
+        a * ys[i]
+        + b * ys[i + 1]
+        + ((a ** 3 - a) * M[i] + (b ** 3 - b) * M[i + 1]) * h * h / 6.0
+    )
+
+
+def robinson_forward(lon, lat, radius: float = R_SPHERE):
+    """lon/lat deg -> Robinson meters (spline through the table)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.asarray(lat, dtype=np.float64)
+    aphi = np.abs(phi)
+    X = _spline_eval(_ROBINSON_LATS, _ROBINSON_X, _ROBINSON_MX, aphi)
+    Y = _spline_eval(_ROBINSON_LATS, _ROBINSON_Y, _ROBINSON_MY, aphi)
+    x = _ROBINSON_XSCALE * radius * X * lam
+    y = _ROBINSON_YSCALE * radius * Y * np.sign(phi)
+    return x, y
+
+
+def robinson_inverse(x, y, radius: float = R_SPHERE, iters: int = 60):
+    """Robinson meters -> lon/lat deg.  |lat| by bisection on the
+    monotone Y spline; lon = x / (0.8487 R X(lat))."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    Yt = np.clip(np.abs(y) / (_ROBINSON_YSCALE * radius), 0.0, 1.0)
+    lo = np.zeros_like(Yt)
+    hi = np.full_like(Yt, 90.0)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        Ym = _spline_eval(_ROBINSON_LATS, _ROBINSON_Y, _ROBINSON_MY, mid)
+        below = Ym < Yt
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    aphi = 0.5 * (lo + hi)
+    X = _spline_eval(_ROBINSON_LATS, _ROBINSON_X, _ROBINSON_MX, aphi)
+    lon = np.degrees(x / (_ROBINSON_XSCALE * radius * X))
+    lat = aphi * np.sign(y)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Van der Grinten I (Snyder p.239-241)
+# ---------------------------------------------------------------------------
+
+def vandergrinten_forward(lon, lat, radius: float = R_SPHERE):
+    """lon/lat deg -> Van der Grinten I meters (closed form)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    x = np.zeros_like(lam)
+    y = np.zeros_like(lam)
+
+    theta = np.arcsin(np.clip(np.abs(2.0 * phi / np.pi), 0.0, 1.0))
+    eq = np.abs(phi) < 1e-12          # equator: x = R*lam, y = 0
+    mer = (np.abs(lam) < 1e-12) | (np.abs(np.abs(phi) - np.pi / 2) < 1e-12)
+
+    x[eq] = radius * lam[eq]
+    # central meridian / poles: x = 0, y = +-pi R tan(theta/2)
+    y[mer & ~eq] = (
+        np.pi * radius * np.sign(phi[mer & ~eq]) * np.tan(theta[mer & ~eq] / 2.0)
+    )
+
+    g = ~(eq | mer)
+    if np.any(g):
+        lg, tg = lam[g], theta[g]
+        A = 0.5 * np.abs(np.pi / lg - lg / np.pi)
+        G = np.cos(tg) / (np.sin(tg) + np.cos(tg) - 1.0)
+        P = G * (2.0 / np.sin(tg) - 1.0)
+        Q = A * A + G
+        P2A2 = P * P + A * A
+        GP2 = G - P * P
+        under_x = A * A * GP2 * GP2 - P2A2 * (G * G - P * P)
+        xg = (
+            np.pi
+            * radius
+            * (A * GP2 + np.sqrt(np.maximum(under_x, 0.0)))
+            / P2A2
+            * np.sign(lg)
+        )
+        under_y = (A * A + 1.0) * P2A2 - Q * Q
+        yg = (
+            np.pi
+            * radius
+            * (P * Q - A * np.sqrt(np.maximum(under_y, 0.0)))
+            / P2A2
+            * np.sign(phi[g])
+        )
+        x[g] = xg
+        y[g] = yg
+    return x, y
+
+
+def vandergrinten_inverse(x, y, radius: float = R_SPHERE):
+    """Van der Grinten I meters -> lon/lat deg (closed-form cubic,
+    Snyder p.241)."""
+    X = np.asarray(x, dtype=np.float64) / (np.pi * radius)
+    Y = np.asarray(y, dtype=np.float64) / (np.pi * radius)
+    X, Y = np.broadcast_arrays(X, Y)
+
+    XY2 = X * X + Y * Y
+    c1 = -np.abs(Y) * (1.0 + XY2)
+    c2 = c1 - 2.0 * Y * Y + X * X
+    c3 = -2.0 * c1 + 1.0 + 2.0 * Y * Y + XY2 * XY2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = Y * Y / c3 + (2.0 * c2 ** 3 / c3 ** 3 - 9.0 * c1 * c2 / (c3 * c3)) / 27.0
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 0.0))
+        ratio = np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)
+        th1 = np.arccos(ratio) / 3.0
+        lat = np.pi * np.sign(Y) * (-m1 * np.cos(th1 + np.pi / 3.0) - c2 / (3.0 * c3))
+        lon = np.where(
+            np.abs(X) < 1e-15,
+            0.0,
+            np.pi
+            * (XY2 - 1.0 + np.sqrt(1.0 + 2.0 * (X * X - Y * Y) + XY2 * XY2))
+            / (2.0 * np.where(np.abs(X) < 1e-15, 1.0, X)),
+        )
+    lat = np.where(np.abs(Y) < 1e-15, 0.0, lat)
+    return np.degrees(lon), np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic, variant B (EPSG GN7-2 §3.2.4, ellipsoidal)
+# ---------------------------------------------------------------------------
+
+def _ps_constants(lat_ts_deg: float, a: float = A_WGS84, f: float = F_WGS84):
+    e = np.sqrt(2.0 * f - f * f)
+    phi_f = np.radians(abs(lat_ts_deg))
+    t_f = np.tan(np.pi / 4.0 - phi_f / 2.0) * (
+        (1.0 + e * np.sin(phi_f)) / (1.0 - e * np.sin(phi_f))
+    ) ** (e / 2.0)
+    m_f = np.cos(phi_f) / np.sqrt(1.0 - e * e * np.sin(phi_f) ** 2)
+    big = np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    k0 = m_f * big / (2.0 * t_f)
+    return e, big, k0
+
+
+def polar_stereographic_forward(
+    lon, lat, lat_ts: float, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """lon/lat deg -> polar stereographic meters.  North aspect when
+    lat_ts > 0 (EPSG:3995), south when lat_ts < 0 (EPSG:3031)."""
+    e, big, k0 = _ps_constants(lat_ts, a, f)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    north = lat_ts > 0
+    if not north:
+        phi = -phi  # mirror to the north-aspect formulas
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi))
+    ) ** (e / 2.0)
+    rho = 2.0 * a * k0 * t / big
+    E = fe + rho * np.sin(lam)
+    N = fn - rho * np.cos(lam) if north else fn + rho * np.cos(lam)
+    return E, N
+
+
+def polar_stereographic_inverse(
+    E, N, lat_ts: float, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    e, big, k0 = _ps_constants(lat_ts, a, f)
+    E = np.asarray(E, dtype=np.float64) - fe
+    N = np.asarray(N, dtype=np.float64) - fn
+    E, N = np.broadcast_arrays(E, N)
+    north = lat_ts > 0
+    rho = np.sqrt(E * E + N * N)
+    t = rho * big / (2.0 * a * k0)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)  # north-aspect conformal lat
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    phi = (
+        chi
+        + (e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0) * np.sin(2 * chi)
+        + (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0) * np.sin(4 * chi)
+        + (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0) * np.sin(6 * chi)
+        + (4279.0 * e8 / 161280.0) * np.sin(8 * chi)
+    )
+    lam = np.arctan2(E, -N) if north else np.arctan2(E, N)
+    if not north:
+        phi = -phi
+    lat = np.degrees(phi)
+    lon = np.degrees(lam) + lon0
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Backend adapters (the _SphericalMercator .transform protocol)
+# ---------------------------------------------------------------------------
+
+class AnalyticProjection:
+    """Adapter: (forward_fn, inverse_fn) pair -> the backend protocol
+    MapProjection expects (.transform(x, y) -> (px, py))."""
+
+    def __init__(self, fwd, inv, forward: bool):
+        self._fwd = fwd
+        self._inv = inv
+        self.forward = forward
+
+    def transform(self, x, y):
+        fn = self._fwd if self.forward else self._inv
+        return fn(x, y)
+
+
+def _pair(fwd, inv):
+    return (
+        lambda: AnalyticProjection(fwd, inv, forward=True),
+        lambda: AnalyticProjection(fwd, inv, forward=False),
+    )
+
+
+def _ps_pair(lat_ts):
+    return _pair(
+        lambda lon, lat: polar_stereographic_forward(lon, lat, lat_ts=lat_ts),
+        lambda E, N: polar_stereographic_inverse(E, N, lat_ts=lat_ts),
+    )
+
+
+# (lonlat -> proj maker, proj -> lonlat maker) per projected CRS code
+ANALYTIC_PROJECTIONS = {
+    "ESRI:54009": _pair(mollweide_forward, mollweide_inverse),
+    "ESRI:54030": _pair(robinson_forward, robinson_inverse),
+    "ESRI:54029": _pair(vandergrinten_forward, vandergrinten_inverse),
+    "EPSG:3995": _ps_pair(71.0),   # WGS 84 / Arctic Polar Stereographic
+    "EPSG:3031": _ps_pair(-71.0),  # WGS 84 / Antarctic Polar Stereographic
+}

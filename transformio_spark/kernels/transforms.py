@@ -519,12 +519,18 @@ _WGS84_A = 6378137.0  # WGS84 semi-major axis (EPSG:3857 sphere radius)
 
 
 def _crs_code(crs) -> str | None:
-    """Normalize a CRS spec to 'EPSG:NNNN' when recognizable."""
+    """Normalize a CRS spec to 'EPSG:NNNN' / 'ESRI:NNNNN' when
+    recognizable.  A geographic-WGS84 proj4 string (the reference's
+    test fixtures pass '+proj=longlat +datum=WGS84 +no_defs',
+    reference tests/test_image_projections.py:7) normalizes to
+    EPSG:4326 since the analytic backends are axis-fixed lon/lat."""
     s = str(crs).strip().upper()
     if s.isdigit():
         return f"EPSG:{s}"
-    if s.startswith("EPSG:"):
+    if s.startswith(("EPSG:", "ESRI:")):
         return s
+    if s.startswith("+PROJ=LONGLAT") and "DATUM=WGS84" in s.replace("+", ""):
+        return "EPSG:4326"
     return None
 
 
@@ -566,6 +572,16 @@ class MapProjection(_BaseTransform):
         ("EPSG:4326", "EPSG:3857"): lambda: _SphericalMercator(forward=True),
         ("EPSG:3857", "EPSG:4326"): lambda: _SphericalMercator(forward=False),
     }
+    # world projections from kernels/projections.py (public Snyder /
+    # EPSG GN7-2 formulas) — covers the reference's projection test
+    # surface (reference tests/test_image_projections.py:24-46)
+    # except EPSG:5939, which stays pyproj-gated.
+    from .projections import ANALYTIC_PROJECTIONS as _AP
+
+    for _code, (_fwd_maker, _inv_maker) in _AP.items():
+        _ANALYTIC[("EPSG:4326", _code)] = _fwd_maker
+        _ANALYTIC[(_code, "EPSG:4326")] = _inv_maker
+    del _AP, _code, _fwd_maker, _inv_maker
 
     def __init__(self, fromcrs, tocrs):
         self.fromcrs = fromcrs
@@ -592,10 +608,11 @@ class MapProjection(_BaseTransform):
                 pair = (_crs_code(fromcrs), _crs_code(tocrs))
                 maker = self._ANALYTIC.get(pair)
                 if maker is None:
+                    known = sorted({c for p in self._ANALYTIC for c in p})
                     raise ImportError(
                         "pyproj is required for CRS pair "
-                        f"{fromcrs!r}->{tocrs!r}; only the analytic "
-                        "EPSG:4326<->EPSG:3857 pair works without it"
+                        f"{fromcrs!r}->{tocrs!r}; without it only "
+                        f"lon/lat pairs among {known} are analytic"
                     )
                 self._transformer_cache[key] = maker()
         self._transformer = self._transformer_cache[key]

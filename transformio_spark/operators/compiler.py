@@ -10,6 +10,7 @@ has a parity-tested Column twin (functions/geo.py):
 - Polynomial order 1/2/3       -> polynomial_predict
 - Projective                   -> projective_predict
 - MapProjection 4326<->3857    -> mercator_forward/inverse
+- MapProjection 4326->54009    -> mollweide_forward (Newton fold)
 - Chain                        -> composition of the above
 
 Legs that genuinely need numpy/pyproj (TIN triangle loops, non-analytic
@@ -69,7 +70,9 @@ def compile_columns(model) -> ColumnBuilder | None:
             return geo.mercator_forward
         if pair == ("EPSG:3857", "EPSG:4326"):
             return geo.mercator_inverse
-        return None  # pyproj-only pair -> UDF kernel leg
+        if pair == ("EPSG:4326", "ESRI:54009"):
+            return geo.mollweide_forward  # fold-based Newton, codegen
+        return None  # other analytic/pyproj pairs -> UDF kernel leg
     return None  # TIN and anything unknown -> UDF kernel leg
 
 

@@ -632,6 +632,42 @@ def q_mercator_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mollweide_cells(spark, sf_dir) -> DataFrame:
+    """World-projection op (SURVEY op 14; reference
+    tests/test_image_projections.py:27-29 exercises Mollweide
+    ESRI:54009): lon/lat points → Mollweide meters via the
+    Chain→Column compiler — the Newton theta-solve runs as an
+    F.aggregate fold (kernels/projections.py MOLL_NEWTON_ITERS fixed
+    steps), so the whole projection is whole-stage codegen with a
+    LINEAR-size expression tree.  Same cell-count/sum observables as
+    mercator_cells; the DuckDB oracle replicates the identical fold
+    via list_reduce."""
+    from ..kernels import Chain, MapProjection
+    from ..operators import compiler
+
+    pts = points_df(spark, sf_dir)
+    model = Chain([MapProjection("EPSG:4326", "ESRI:54009")])
+    out = compiler.with_transformed_columns(
+        pts, model, x="lon", y="lat", out_x="mx", out_y="my",
+    )
+    cell = 2_000_000.0
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
