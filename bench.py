@@ -34,7 +34,8 @@ HEADLINE = [
 # BENCH_rN totals stay comparable across rounds
 EXTRA = [
     "pip_polygon",            # arbitrary-ring ray-cast PIP
-    "mercator_cells",         # MapProjection chain via pandas-UDF path
+    "mercator_cells",         # MapProjection chain (Column-compiled)
+    "mollweide_cells",        # world projection via Newton aggregate fold
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
     "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank

@@ -135,10 +135,16 @@ def test_load_image_ppm_and_pgm(tmp_path):
 
 
 def test_load_image_unknown_format_raises(tmp_path):
-    p = tmp_path / "im.png"
-    p.write_bytes(b"\x89PNG\r\n\x1a\nnotreally")
+    p = tmp_path / "im.bin"
+    p.write_bytes(b"BOGUSFMT not an image")
     with pytest.raises(ValueError, match="unsupported image format"):
         kwarp.load_image(str(p))
+    # a PNG signature with garbage after it enters the PNG decoder
+    # (since round 3) and must still fail with a clear PNG error
+    p2 = tmp_path / "im.png"
+    p2.write_bytes(b"\x89PNG\r\n\x1a\nnotreally")
+    with pytest.raises(ValueError, match="PNG"):
+        kwarp.load_image(str(p2))
 
 
 def test_warp_accepts_path_string(tmp_path):

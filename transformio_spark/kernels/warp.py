@@ -235,12 +235,12 @@ def load_image(src: str) -> np.ndarray:
     here, so self-describing PUBLIC formats are decoded natively:
     numpy .npy, binary PPM/PGM, PNG (kernels/png.py — 8-bit
     gray/palette/RGB(A), the reference's land_shallow_topo_2048.png
-    fixture decodes end-to-end), and baseline TIFF (kernels/tiff.py —
-    8-bit strip LZW/uncompressed, covers the .tif sibling fixture).
-    JPEG (a DCT codec, out of natural scope for a data engine) raises
-    with a clear message.  http(s)/file URLs fetch via urllib; plain
-    paths open directly (a superset of the reference, which only
-    special-cases http)."""
+    fixture decodes end-to-end), baseline TIFF (kernels/tiff.py —
+    8-bit strip LZW/uncompressed, covers the .tif sibling fixture),
+    and baseline JPEG (kernels/jpeg.py — SOF0 YCbCr, covers every
+    scanned-map fixture: china/argentina/burkina_pol96.jpg etc.).
+    http(s)/file URLs fetch via urllib; plain paths open directly
+    (a superset of the reference, which only special-cases http)."""
     import io
     import urllib.request
 
@@ -254,12 +254,14 @@ def load_image(src: str) -> np.ndarray:
         return np.load(io.BytesIO(data), allow_pickle=False)
     if data[:2] in (b"P6", b"P5"):
         return _parse_pnm(data)
-    from . import png, tiff
+    from . import jpeg, png, tiff
 
     if png.is_png(data):
         return png.decode_png(data)
     if tiff.is_tiff(data):
         return tiff.decode_tiff(data)
+    if jpeg.is_jpeg(data):
+        return jpeg.decode_jpeg(data)
     raise ValueError(
         "unsupported image format (PIL is not available in this "
         "environment) — provide .npy, binary PPM/PGM, PNG, or "
