@@ -255,6 +255,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         comp.v = sof[7 + c * 3] & 15
         comp.tq = sof[8 + c * 3]
         comps.append(comp)
+    if nc == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved —
+        # one 8x8 block per MCU regardless of declared sampling
+        comps[0].h = comps[0].v = 1
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
 
