@@ -95,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
         "mollweide_cells": oracles.mollweide_cells(),
+        "poly_roundtrip": oracles.poly_roundtrip(),
         "projective_transform": oracles.projective_transform(),
         "tin_transform": oracles.tin_transform(),
         "model_accuracy": oracles.model_accuracy(),
@@ -118,11 +119,6 @@ def no_oracle_reason() -> dict[str, str]:
     no ``oracle_sql()`` twin — each is genuinely non-SQL-expressible
     (the driver records a rows-only check for these)."""
     return {
-        "poly_roundtrip": (
-            "order-2 polynomial INVERSE has no closed form: the reference "
-            "(transforms.py:198-257) estimates it by re-fitting with swapped "
-            "point roles — an lstsq solve inside the query, not SQL"
-        ),
         "warp_tile_checksums": (
             "backward-map nearest-neighbour raster warp over uint8 tiles "
             "(reference imwarp.py) — per-tile array kernel, not relational; "

@@ -184,6 +184,38 @@ ORDER BY 1, 2
 """
 
 
+def poly_roundtrip() -> str:
+    """SQL twin of q_poly_roundtrip — retired from rows-only in round
+    3: the order-2 inverse has no closed form, but the swapped-refit
+    estimate (reference transforms.py:201-206) happens DRIVER-side at
+    plan-build time, so both the forward and inverse matrices embed as
+    literals exactly like affine_fit/tin_transform.  The oracle runs
+    the identical forward→inverse polynomial arithmetic
+    (functions/geo.polynomial_predict_sql, same term order) over the
+    same derived px-space points; numpy-dot vs SQL-sum ulp differences
+    are absorbed by the 1e-6 rounding of O(0.01..1 px) error stats."""
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from ..functions.geo import polynomial_predict_sql
+    from ..kernels import Polynomial
+
+    imx, imy = zip(*CHINA22_IMPOINTS)
+    gx, gy = zip(*CHINA22_GEOPOINTS)
+    trans = Polynomial(order=2).fit(imx, imy, gx, gy)
+    fx, fy = polynomial_predict_sql(trans.A, 2, "x", "y")
+    bx, by = polynomial_predict_sql(trans.inverse().A, 2, "fx", "fy")
+    return f"""
+WITH {geo_oracle.points_cte()},
+px AS (SELECT ((lon + 180.0e0) * 3.0e0) AS x, ((lat + 85.0e0) * 5.5e0) AS y FROM pts),
+f AS (SELECT x, y, {fx} AS fx, {fy} AS fy FROM px),
+b AS (SELECT x, y, {bx} AS bx, {by} AS by FROM f),
+e AS (SELECT sqrt(pow(bx - x, 2) + pow(by - y, 2)) AS err FROM b)
+SELECT count(*) AS n_points,
+       cast(round(sqrt(avg(pow(err, 2))) * 1000000e0) as bigint) AS rmse_e6,
+       cast(round(max(err) * 1000000e0) as bigint) AS max_e6
+FROM e
+"""
+
+
 def mollweide_cells() -> str:
     """SQL twin of q_mollweide_cells: the identical fixed-iteration
     Newton fold (functions/geo.py:mollweide_forward_sql, DuckDB
