@@ -96,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "mercator_cells": oracles.mercator_cells(),
         "mollweide_cells": oracles.mollweide_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
+        "loo_residuals": oracles.loo_residuals(),
         "projective_transform": oracles.projective_transform(),
         "tin_transform": oracles.tin_transform(),
         "model_accuracy": oracles.model_accuracy(),
@@ -123,11 +124,6 @@ def no_oracle_reason() -> dict[str, str]:
             "backward-map nearest-neighbour raster warp over uint8 tiles "
             "(reference imwarp.py) — per-tile array kernel, not relational; "
             "bit-equality of tiled vs whole-image warp is pinned in pytest"
-        ),
-        "loo_residuals": (
-            "leave-one-out refits one lstsq model per held-out GCP "
-            "(reference accuracy.py:97-116) — an iterative fitting loop; "
-            "per-point golden values are pinned against the README in pytest"
         ),
         "auto_choose_model": (
             "nested model-selection loop (fit 3 model classes x iterative "

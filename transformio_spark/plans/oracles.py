@@ -216,6 +216,43 @@ FROM e
 """
 
 
+def loo_residuals() -> str:
+    """SQL twin of q_loo_residuals — retired from rows-only in round
+    3 by the same pattern as tin_transform/poly_roundtrip: the 22
+    leave-one-out REFITS are reproduced driver-side here and embedded
+    as literal matrices; DuckDB then independently evaluates the
+    order-2 predict + R=6367 haversine residual for each held-out GCP
+    (functions/geo: polynomial_predict_sql + haversine_km_sql).  This
+    gates the distributed applyInPandas fit path against driver-side
+    fits with SQL-evaluated arithmetic."""
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from ..functions.geo import (
+        dlit_sql,
+        haversine_km_sql,
+        polynomial_predict_sql,
+    )
+    from ..kernels import Polynomial
+
+    n = len(CHINA22_IMPOINTS)
+    selects = []
+    for h in range(n):
+        keep = [i for i in range(n) if i != h]
+        sx = [CHINA22_IMPOINTS[i][0] for i in keep]
+        sy = [CHINA22_IMPOINTS[i][1] for i in keep]
+        dx = [CHINA22_GEOPOINTS[i][0] for i in keep]
+        dy = [CHINA22_GEOPOINTS[i][1] for i in keep]
+        t = Polynomial(order=2).fit(sx, sy, dx, dy)
+        hx, hy = CHINA22_IMPOINTS[h]
+        gx, gy = CHINA22_GEOPOINTS[h]
+        px, py = polynomial_predict_sql(t.A, 2, dlit_sql(hx), dlit_sql(hy))
+        d = haversine_km_sql(dlit_sql(gx), dlit_sql(gy), px, py)
+        selects.append(
+            f"SELECT {h} AS gcp_id, cast(round({d} * 1000000e0) as bigint) AS resid_e6"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"{body}\nORDER BY gcp_id"
+
+
 def mollweide_cells() -> str:
     """SQL twin of q_mollweide_cells: the identical fixed-iteration
     Newton fold (functions/geo.py:mollweide_forward_sql, DuckDB
