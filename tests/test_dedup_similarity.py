@@ -157,6 +157,37 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     assert f1 == f2
 
 
+def test_multimodal_real_image_payload_decodes(spark):
+    """Round 3: image payloads carrying a real container (JPEG here,
+    via the test-side encoder) decode through the pure-stdlib codecs
+    instead of the deterministic fake — decoded_shape is the actual
+    image's, and the feature equals the pooled real pixels."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_jpeg import _smooth, encode_jpeg
+
+    im = np.rint(_smooth(24, 40, seed=12)).astype(np.uint8)
+    rgb = np.stack([im, im, im], axis=-1)
+    payload = encode_jpeg(rgb)
+    media = spark.createDataFrame(
+        [
+            ("real", "image", bytearray(payload), (40, 24, 1, 16000)),
+            ("fake", "image", bytearray(b"not an image"), (40, 24, 1, 16000)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert rows["real"].ok and rows["real"].decoded_shape == [24, 40, 3]
+    from transformio_spark.kernels import jpeg as kjpeg
+
+    flat = kjpeg.decode_jpeg(payload).astype(np.float64).ravel()
+    pooled = np.resize(flat, (16, max(flat.size // 16, 1))).mean(axis=1)
+    np.testing.assert_allclose(rows["real"].feature, pooled, rtol=1e-6)
+    # garbage bytes keep the deterministic-fake path (meta-shaped)
+    assert rows["fake"].ok and rows["fake"].decoded_shape == [24, 40, 3]
+
+
 def test_multimodal_unknown_kind_errors_per_row(spark):
     media = spark.createDataFrame(
         [("m1", "hologram", bytearray(b"xx"), (1, 1, 1, 1))],

@@ -200,6 +200,25 @@ def test_mollweide_sql_twin_bit_equal_to_kernel():
     np.testing.assert_array_equal(d.y.values, ky)
 
 
+def test_mollweide_inverse_column_twin_roundtrip(spark):
+    from transformio_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(GRID_LON, GRID_LAT)],
+        "lon double, lat double",
+    )
+    fx, fy = geo.mollweide_forward(F.col("lon"), F.col("lat"))
+    bx, by = geo.mollweide_inverse(fx, fy)
+    pdf = df.select(bx.alias("lon2"), by.alias("lat2")).toPandas()
+    np.testing.assert_allclose(pdf.lon2.values, GRID_LON, atol=1e-9)
+    np.testing.assert_allclose(pdf.lat2.values, GRID_LAT, atol=1e-9)
+    # kernel parity
+    kx, ky = pj.mollweide_forward(GRID_LON, GRID_LAT)
+    klon, klat = pj.mollweide_inverse(kx, ky)
+    np.testing.assert_allclose(pdf.lon2.values, klon, atol=1e-9)
+    np.testing.assert_allclose(pdf.lat2.values, klat, atol=1e-9)
+
+
 def test_mollweide_chain_compiles_to_pure_codegen(spark):
     from transformio_spark.operators import compiler
 

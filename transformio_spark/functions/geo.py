@@ -135,6 +135,26 @@ def mollweide_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
     return x, y
 
 
+def mollweide_inverse(x: Column, y: Column) -> tuple[Column, Column]:
+    """Mollweide meters -> lon/lat deg (closed form, no iteration) —
+    codegen twin of kernels.projections.mollweide_inverse."""
+    from ..kernels.projections import R_SPHERE
+
+    pi = 3.141592653589793
+    sqrt2_r = F.lit(2.0 ** 0.5 * R_SPHERE)
+    th = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), y / sqrt2_r)))
+    lat = F.degrees(
+        F.asin(
+            F.greatest(
+                F.lit(-1.0),
+                F.least(F.lit(1.0), (F.lit(2.0) * th + F.sin(F.lit(2.0) * th)) / F.lit(pi)),
+            )
+        )
+    )
+    lon = F.degrees(F.lit(pi) * x / (F.lit(2.0) * sqrt2_r * F.cos(th)))
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # SQL text twins (for the DuckDB oracle)
 # ---------------------------------------------------------------------------

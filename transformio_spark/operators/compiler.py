@@ -72,6 +72,8 @@ def compile_columns(model) -> ColumnBuilder | None:
             return geo.mercator_inverse
         if pair == ("EPSG:4326", "ESRI:54009"):
             return geo.mollweide_forward  # fold-based Newton, codegen
+        if pair == ("ESRI:54009", "EPSG:4326"):
+            return geo.mollweide_inverse  # closed form
         return None  # other analytic/pyproj pairs -> UDF kernel leg
     return None  # TIN and anything unknown -> UDF kernel leg
 
