@@ -288,3 +288,99 @@ def test_polar_satellite_reprojection(tocrs, land_im):
     assert a6[:3] == [35156.25, 0, -4_500_000.0]
     assert out[..., 3].mean() / 255 > 0.99
     assert zlib.adler32(out.tobytes()) == _POLAR_GOLDEN[tocrs]
+
+
+# ---------------------------------------------------------------------------
+# proj4-string backends (README forms) + orthographic
+# ---------------------------------------------------------------------------
+
+def test_parse_proj4():
+    p = pj.parse_proj4("+proj=ortho +lat_0=-10 +lon_0=30 +x_0=30 +y_0=-10")
+    assert p["proj"] == "ortho" and p["lat_0"] == -10.0 and p["x_0"] == 30.0
+    # the README's malformed trailing token (no '+' on no_defs) parses
+    p = pj.parse_proj4(
+        "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +datum=WGS84 +units=m no_defs"
+    )
+    assert p["proj"] == "robin" and p["no_defs"] is True
+    assert pj.parse_proj4("epsg:4326") is None
+
+
+def test_readme_robin_proj4_string_matches_esri_code():
+    """reference README.md:139-141 passes Robinson as a proj4 string;
+    it must resolve analytically and agree bit-for-bit with the
+    ESRI:54030 backend (default parameters)."""
+    mp = kt.MapProjection(
+        LONGLAT,
+        "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +datum=WGS84 +units=m no_defs",
+    )
+    ref = kt.MapProjection(LONGLAT, "esri:54030")
+    x1, y1 = mp.predict(GRID_LON, GRID_LAT)
+    x2, y2 = ref.predict(GRID_LON, GRID_LAT)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_orthographic_anchors_and_visibility():
+    # center maps to origin; due-north offset is R*sin(dlat)
+    x, y = pj.orthographic_forward(30.0, -10.0, lat0=-10.0, lon0=30.0)
+    assert x == 0.0 and y == 0.0
+    x, y = pj.orthographic_forward(30.0, 0.0, lat0=-10.0, lon0=30.0)
+    assert x == pytest.approx(0.0, abs=1e-9)
+    assert y == pytest.approx(R * math.sin(math.radians(10.0)), rel=1e-12)
+    # the antipode is hidden -> NaN
+    x, y = pj.orthographic_forward(-150.0, 10.0, lat0=-10.0, lon0=30.0)
+    assert np.isnan(x) and np.isnan(y)
+
+
+def test_orthographic_roundtrip_visible_hemisphere():
+    lon, lat = np.meshgrid(np.linspace(-180, 180, 73), np.linspace(-89, 89, 45))
+    lon, lat = lon.ravel(), lat.ravel()
+    x, y = pj.orthographic_forward(lon, lat, lat0=-10.0, lon0=30.0)
+    vis = ~np.isnan(x)
+    assert 0.4 < vis.mean() < 0.6  # half the globe is visible
+    lon2, lat2 = pj.orthographic_inverse(x[vis], y[vis], lat0=-10.0, lon0=30.0)
+    dlon = (lon2 - lon[vis] + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dlon, 0.0, atol=1e-7)
+    np.testing.assert_allclose(lat2, lat[vis], atol=1e-7)
+
+
+def test_readme_globe_multipoint_doctest_flow():
+    """reference README.md:461-476: a 10-degree MultiPoint grid
+    through the ortho proj4 transform — hidden-hemisphere points drop
+    via the NaN semantics, visible ones survive."""
+    from transformio_spark.kernels import vector
+
+    points = [(x, y) for y in range(-90, 90, 10) for x in range(-180, 181, 10)]
+    geoj = {"type": "MultiPoint", "coordinates": points}
+    trans = kt.MapProjection(
+        "+proj=longlat +datum=WGS84 +no_defs",
+        "+proj=ortho +lat_0=-10 +lon_0=30 +x_0=30 +y_0=-10",
+    )
+    out = vector.transform(geoj, trans)
+    lon, lat = np.array(points).T
+    x, _ = pj.orthographic_forward(lon, lat, lat0=-10.0, lon0=30.0)
+    n_visible = int((~np.isnan(x)).sum())
+    assert len(out["coordinates"]) == n_visible
+    assert 0 < n_visible < len(points)
+    # x_0/y_0 offsets applied
+    xs = np.array([p[0] for p in out["coordinates"]])
+    assert np.isfinite(xs).all()
+
+
+def test_globe_logo_warp_flow(land_im):
+    """create_logo.py's flow: world PNG -> fitbounds -> ortho warp.
+    The output is the visible disc (area fraction ~ pi/4 of its
+    bounding square)."""
+    aff = read_worldfile(f"{FIXDIR}/land_shallow_topo_2048.wld")
+    proj = kt.MapProjection(
+        "+proj=longlat +datum=WGS84 +no_defs",
+        "+proj=ortho +lat_0=0 +lon_0=30 +x_0=30 +y_0=0",
+    )
+    out, a6 = kwarp.warp(land_im, kt.Chain([aff, proj]), size=(200, 200))
+    assert out.shape == (200, 200, 4)
+    assert out[..., 3].mean() / 255 == pytest.approx(math.pi / 4, abs=0.02)
+
+
+def test_proj4_unsupported_parameter_is_loud():
+    with pytest.raises(ValueError, match="not supported"):
+        kt.MapProjection(LONGLAT, "+proj=moll +lon_0=0 +R_A")

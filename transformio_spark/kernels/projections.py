@@ -334,6 +334,169 @@ def polar_stereographic_inverse(
 
 
 # ---------------------------------------------------------------------------
+# Orthographic (Snyder p.148-150, sphere) — the README's globe view
+# ---------------------------------------------------------------------------
+
+def orthographic_forward(
+    lon, lat, lat0: float = 0.0, lon0: float = 0.0, radius: float = R_SPHERE
+):
+    """lon/lat deg -> orthographic meters; the far hemisphere
+    (cos of angular distance < 0) maps to NaN, which the vector
+    transform's NaN-drop semantics then removes — exactly how the
+    reference's globe doctest makes hidden points disappear
+    (reference README.md:461-476, create_logo.py)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(lat0)
+    cosc = np.sin(phi0) * np.sin(phi) + np.cos(phi0) * np.cos(phi) * np.cos(lam)
+    vis = cosc >= 0.0
+    x = np.where(vis, radius * np.cos(phi) * np.sin(lam), np.nan)
+    y = np.where(
+        vis,
+        radius
+        * (np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(lam)),
+        np.nan,
+    )
+    return x, y
+
+
+def orthographic_inverse(
+    x, y, lat0: float = 0.0, lon0: float = 0.0, radius: float = R_SPHERE
+):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x, y = np.broadcast_arrays(x, y)
+    phi0 = np.radians(lat0)
+    rho = np.sqrt(x * x + y * y)
+    with np.errstate(invalid="ignore"):
+        c = np.arcsin(np.where(rho <= radius, rho / radius, np.nan))
+        sinc, cosc = np.sin(c), np.cos(c)
+        safe_rho = np.where(rho == 0.0, 1.0, rho)
+        phi = np.arcsin(
+            np.clip(
+                cosc * np.sin(phi0) + y * sinc * np.cos(phi0) / safe_rho, -1.0, 1.0
+            )
+        )
+        lam = np.arctan2(
+            x * sinc, safe_rho * cosc * np.cos(phi0) - y * sinc * np.sin(phi0)
+        )
+    phi = np.where(rho == 0.0, phi0, phi)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# proj4 string resolution (the reference's README passes proj4
+# strings, not authority codes — README.md:139-141, 470-472)
+# ---------------------------------------------------------------------------
+
+# keys that change nothing for these spherical-on-WGS84 backends
+_PROJ4_IGNORABLE = {
+    "datum", "ellps", "units", "no_defs", "nodefs", "towgs84", "wktext", "type",
+}
+
+
+def parse_proj4(s: str) -> dict | None:
+    """'+proj=ortho +lat_0=-10 ...' -> {'proj': 'ortho', 'lat_0':
+    -10.0, ...}; None if it doesn't look like a proj4 string.  The
+    reference's README includes one malformed token ('no_defs'
+    without '+', README.md:140) — tolerated like PROJ does."""
+    s = str(s).strip()
+    if "+proj=" not in s:
+        return None
+    out: dict = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        key, _, val = tok.partition("=")
+        key = key.lower()
+        if val == "":
+            out.setdefault(key, True)
+        elif key == "proj":
+            out["proj"] = val.lower()
+        else:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+def _offset_pair(fwd, inv, lon0=0.0, x0=0.0, y0=0.0, **kw):
+    """Wrap a (forward, inverse) kernel with proj4 lon_0/x_0/y_0
+    handling; zero params leave the arithmetic bit-identical."""
+
+    def f(lon, lat):
+        if lon0:
+            lon = np.asarray(lon, dtype=np.float64) - lon0
+        x, y = fwd(lon, lat, **kw)
+        return (x + x0 if x0 else x), (y + y0 if y0 else y)
+
+    def g(x, y):
+        if x0:
+            x = np.asarray(x, dtype=np.float64) - x0
+        if y0:
+            y = np.asarray(y, dtype=np.float64) - y0
+        lon, lat = inv(x, y, **kw)
+        return (lon + lon0 if lon0 else lon), lat
+
+    return f, g
+
+
+_PROJ4_BACKENDS = {
+    "moll": (mollweide_forward, mollweide_inverse),
+    "robin": (robinson_forward, robinson_inverse),
+    "vandg": (vandergrinten_forward, vandergrinten_inverse),
+}
+
+
+def resolve_proj4_pair(fromcrs, tocrs):
+    """(fromcrs, tocrs) proj4 strings -> AnalyticProjection backend,
+    or None when the pair isn't an analytic lonlat<->projection pair.
+    Raises ValueError when the projection is recognized but carries a
+    parameter these backends can't honor (better a loud error than a
+    silently wrong map)."""
+    pf, pt = parse_proj4(str(fromcrs)), parse_proj4(str(tocrs))
+
+    def is_lonlat(p):
+        return p is not None and p.get("proj") in ("longlat", "latlong", "lonlat")
+
+    if is_lonlat(pf) and pt is not None and not is_lonlat(pt):
+        proj, forward = pt, True
+    elif is_lonlat(pt) and pf is not None and not is_lonlat(pf):
+        proj, forward = pf, False
+    else:
+        return None
+
+    name = proj.get("proj")
+    known = {"proj", "lon_0", "x_0", "y_0"} | _PROJ4_IGNORABLE
+    if name == "ortho":
+        known = known | {"lat_0"}
+    elif name not in _PROJ4_BACKENDS:
+        return None
+    extra = set(proj) - known
+    if extra:
+        raise ValueError(
+            f"+proj={name} parameter(s) {sorted(extra)} not supported by the "
+            "analytic backend (install pyproj for full PROJ semantics)"
+        )
+    lon0 = float(proj.get("lon_0", 0.0))
+    x0 = float(proj.get("x_0", 0.0))
+    y0 = float(proj.get("y_0", 0.0))
+    if name == "ortho":
+        lat0 = float(proj.get("lat_0", 0.0))
+        fwd, inv = _offset_pair(
+            lambda lon, lat: orthographic_forward(lon, lat, lat0=lat0),
+            lambda x, y: orthographic_inverse(x, y, lat0=lat0),
+            lon0=lon0, x0=x0, y0=y0,
+        )
+    else:
+        fwd, inv = _offset_pair(*_PROJ4_BACKENDS[name], lon0=lon0, x0=x0, y0=y0)
+    return AnalyticProjection(fwd, inv, forward=forward)
+
+
+# ---------------------------------------------------------------------------
 # Backend adapters (the _SphericalMercator .transform protocol)
 # ---------------------------------------------------------------------------
 

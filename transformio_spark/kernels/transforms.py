@@ -607,14 +607,23 @@ class MapProjection(_BaseTransform):
             except ImportError:
                 pair = (_crs_code(fromcrs), _crs_code(tocrs))
                 maker = self._ANALYTIC.get(pair)
-                if maker is None:
-                    known = sorted({c for p in self._ANALYTIC for c in p})
-                    raise ImportError(
-                        "pyproj is required for CRS pair "
-                        f"{fromcrs!r}->{tocrs!r}; without it only "
-                        f"lon/lat pairs among {known} are analytic"
-                    )
-                self._transformer_cache[key] = maker()
+                if maker is not None:
+                    self._transformer_cache[key] = maker()
+                else:
+                    # proj4-string pairs (the reference README's form:
+                    # '+proj=robin ...', '+proj=ortho +lat_0=.. ..')
+                    from .projections import resolve_proj4_pair
+
+                    backend = resolve_proj4_pair(fromcrs, tocrs)
+                    if backend is None:
+                        known = sorted({c for p in self._ANALYTIC for c in p})
+                        raise ImportError(
+                            "pyproj is required for CRS pair "
+                            f"{fromcrs!r}->{tocrs!r}; without it only "
+                            f"lon/lat pairs among {known} and proj4 "
+                            "moll/robin/vandg/ortho are analytic"
+                        )
+                    self._transformer_cache[key] = backend
         self._transformer = self._transformer_cache[key]
 
     def _repr_body(self):
