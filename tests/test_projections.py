@@ -384,3 +384,26 @@ def test_globe_logo_warp_flow(land_im):
 def test_proj4_unsupported_parameter_is_loud():
     with pytest.raises(ValueError, match="not supported"):
         kt.MapProjection(LONGLAT, "+proj=moll +lon_0=0 +R_A")
+
+
+def test_proj4_merc_matches_spherical_mercator_backend():
+    """EPSG:3857's proj4 form resolves to the same arithmetic as the
+    EPSG-code spherical-Mercator backend."""
+    mp = kt.MapProjection(
+        LONGLAT,
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 "
+        "+x_0=0.0 +y_0=0 +k=1.0 +units=m +no_defs",
+    )
+    ref = kt.MapProjection("EPSG:4326", "EPSG:3857")
+    x1, y1 = mp.predict(GRID_LON, GRID_LAT)
+    x2, y2 = ref.predict(GRID_LON, GRID_LAT)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    lon, lat = mp.inverse().predict(x1, y1)
+    np.testing.assert_allclose(lon, GRID_LON, atol=1e-9)
+    np.testing.assert_allclose(lat, GRID_LAT, atol=1e-9)
+
+
+def test_proj4_ellipsoidal_merc_is_loud():
+    with pytest.raises(ValueError, match="spherical web-Mercator"):
+        kt.MapProjection(LONGLAT, "+proj=merc +ellps=WGS84 +lat_ts=10")

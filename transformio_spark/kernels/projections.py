@@ -473,6 +473,21 @@ def resolve_proj4_pair(fromcrs, tocrs):
     known = {"proj", "lon_0", "x_0", "y_0"} | _PROJ4_IGNORABLE
     if name == "ortho":
         known = known | {"lat_0"}
+    elif name in ("merc", "webmerc"):
+        # spherical web-Mercator family only: +a=+b=6378137 (or
+        # defaults), lat_ts=0, k=1 — i.e. EPSG:3857's proj4 form
+        known = known | {"a", "b", "lat_ts", "k", "k_0", "nadgrids"}
+        if (
+            float(proj.get("a", A_WGS84)) != A_WGS84
+            or float(proj.get("b", A_WGS84)) != A_WGS84
+            or float(proj.get("lat_ts", 0.0)) != 0.0
+            or float(proj.get("k", proj.get("k_0", 1.0))) != 1.0
+        ):
+            raise ValueError(
+                "+proj=merc supported analytically only as the spherical "
+                "web-Mercator (a=b=6378137, lat_ts=0, k=1); install pyproj "
+                "for ellipsoidal Mercator"
+            )
     elif name not in _PROJ4_BACKENDS:
         return None
     extra = set(proj) - known
@@ -491,9 +506,31 @@ def resolve_proj4_pair(fromcrs, tocrs):
             lambda x, y: orthographic_inverse(x, y, lat0=lat0),
             lon0=lon0, x0=x0, y0=y0,
         )
+    elif name in ("merc", "webmerc"):
+        fwd, inv = _offset_pair(
+            _webmercator_forward, _webmercator_inverse, lon0=lon0, x0=x0, y0=y0
+        )
     else:
         fwd, inv = _offset_pair(*_PROJ4_BACKENDS[name], lon0=lon0, x0=x0, y0=y0)
     return AnalyticProjection(fwd, inv, forward=forward)
+
+
+def _webmercator_forward(lon, lat, radius: float = R_SPHERE):
+    """Same arithmetic as transforms._SphericalMercator(forward=True)
+    (kept there for compatibility; duplicated formula is 4 lines)."""
+    x = radius * np.radians(np.asarray(lon, dtype=np.float64))
+    y = radius * np.log(
+        np.tan(np.pi / 4.0 + np.radians(np.asarray(lat, dtype=np.float64)) / 2.0)
+    )
+    return x, y
+
+
+def _webmercator_inverse(x, y, radius: float = R_SPHERE):
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / radius)
+    lat = np.degrees(
+        2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / radius)) - np.pi / 2.0
+    )
+    return lon, lat
 
 
 # ---------------------------------------------------------------------------
