@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly2_transform": _shipped(q.q_poly2_transform),
         "mercator_cells": _shipped(q.q_mercator_cells),
         "mollweide_cells": _shipped(q.q_mollweide_cells),
+        "polar_cells": _shipped(q.q_polar_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "poly2_transform": oracles.poly2_transform(),
         "mercator_cells": oracles.mercator_cells(),
         "mollweide_cells": oracles.mollweide_cells(),
+        "polar_cells": oracles.polar_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "loo_residuals": oracles.loo_residuals(),
         "projective_transform": oracles.projective_transform(),

@@ -407,3 +407,42 @@ def test_proj4_merc_matches_spherical_mercator_backend():
 def test_proj4_ellipsoidal_merc_is_loud():
     with pytest.raises(ValueError, match="spherical web-Mercator"):
         kt.MapProjection(LONGLAT, "+proj=merc +ellps=WGS84 +lat_ts=10")
+
+
+def test_polar_stereographic_column_and_sql_twins(spark):
+    """Column + SQL twins of the ellipsoidal polar stereographic
+    agree with the numpy kernel (3031 south aspect)."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    kx, ky = pj.polar_stereographic_forward(GRID_LON, GRID_LAT, lat_ts=-71.0)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(GRID_LON, GRID_LAT)],
+        "lon double, lat double",
+    )
+    cx, cy = geo.polar_stereographic_forward(F.col("lon"), F.col("lat"), -71.0)
+    pdf = df.select(cx.alias("x"), cy.alias("y")).toPandas()
+    np.testing.assert_allclose(pdf.x.values, kx, rtol=1e-12)
+    np.testing.assert_allclose(pdf.y.values, ky, rtol=1e-12)
+    sx, sy = geo.polar_stereographic_forward_sql("lon", "lat", -71.0)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": GRID_LON, "lat": GRID_LAT}))
+    d = con.sql(f"select {sx} as x, {sy} as y from pts").df()
+    np.testing.assert_allclose(d.x.values, kx, rtol=1e-12)
+    np.testing.assert_allclose(d.y.values, ky, rtol=1e-12)
+
+
+def test_polar_chain_compiles_to_pure_codegen(spark):
+    from transformio_spark.operators import compiler
+
+    df = spark.range(50).select(
+        (F.col("id") * 7.0 - 175.0).alias("lon"),
+        (F.col("id") * 3.4 - 85.0).alias("lat"),
+    )
+    for code in ("EPSG:3031", "EPSG:3995"):
+        model = kt.Chain([kt.MapProjection("EPSG:4326", code)])
+        out = compiler.with_transformed_columns(df, model, x="lon", y="lat")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan

@@ -155,6 +155,31 @@ def mollweide_inverse(x: Column, y: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+def polar_stereographic_forward(
+    lon: Column, lat: Column, lat_ts: float
+) -> tuple[Column, Column]:
+    """Ellipsoidal polar stereographic variant B (EPSG GN7-2 §3.2.4)
+    as pure Column arithmetic — codegen twin of
+    kernels.projections.polar_stereographic_forward with lon0=fe=fn=0.
+    North aspect when lat_ts > 0 (EPSG:3995), south when < 0
+    (EPSG:3031).  The projection constants (e, k0, the big radical)
+    are driver-side literals."""
+    from ..kernels.projections import A_WGS84, _ps_constants
+
+    e, big, k0 = (float(v) for v in _ps_constants(lat_ts))
+    north = lat_ts > 0
+    lam = F.radians(lon)
+    phi = F.radians(lat) if north else -F.radians(lat)
+    esin = F.lit(e) * F.sin(phi)
+    t = F.tan(F.lit(3.141592653589793 / 4.0) - phi / 2) * F.pow(
+        (F.lit(1.0) + esin) / (F.lit(1.0) - esin), F.lit(e / 2.0)
+    )
+    rho = F.lit(2.0) * F.lit(A_WGS84) * F.lit(k0) * t / F.lit(big)
+    E = rho * F.sin(lam)
+    N = -rho * F.cos(lam) if north else rho * F.cos(lam)
+    return E, N
+
+
 # ---------------------------------------------------------------------------
 # SQL text twins (for the DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -220,6 +245,27 @@ def mollweide_forward_sql(lon: str, lat: str) -> tuple[str, str]:
     x = f"({xs!r} * radians({lon}) * cos({th}))"
     y = f"({ys!r} * sin({th}))"
     return x, y
+
+
+def polar_stereographic_forward_sql(
+    lon: str, lat: str, lat_ts: float
+) -> tuple[str, str]:
+    """SQL twin of polar_stereographic_forward — identical constants
+    and op order."""
+    from ..kernels.projections import A_WGS84, _ps_constants
+
+    e, big, k0 = (float(v) for v in _ps_constants(lat_ts))
+    north = lat_ts > 0
+    phi = f"radians({lat})" if north else f"(-radians({lat}))"
+    esin = f"({dlit_sql(e)} * sin({phi}))"
+    t = (
+        f"(tan(0.7853981633974483e0 - {phi} / 2) * "
+        f"pow((1.0e0 + {esin}) / (1.0e0 - {esin}), {dlit_sql(e / 2.0)}))"
+    )
+    rho = f"(2.0e0 * {dlit_sql(A_WGS84)} * {dlit_sql(k0)} * {t} / {dlit_sql(big)})"
+    E = f"({rho} * sin(radians({lon})))"
+    N = f"(-{rho} * cos(radians({lon})))" if north else f"({rho} * cos(radians({lon})))"
+    return E, N
 
 
 def dlit_sql(c: float) -> str:

@@ -74,6 +74,10 @@ def compile_columns(model) -> ColumnBuilder | None:
             return geo.mollweide_forward  # fold-based Newton, codegen
         if pair == ("ESRI:54009", "EPSG:4326"):
             return geo.mollweide_inverse  # closed form
+        if pair == ("EPSG:4326", "EPSG:3031"):
+            return lambda x, y: geo.polar_stereographic_forward(x, y, -71.0)
+        if pair == ("EPSG:4326", "EPSG:3995"):
+            return lambda x, y: geo.polar_stereographic_forward(x, y, 71.0)
         return None  # other analytic/pyproj pairs -> UDF kernel leg
     return None  # TIN and anything unknown -> UDF kernel leg
 

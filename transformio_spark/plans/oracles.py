@@ -275,6 +275,27 @@ ORDER BY 1, 2
 """
 
 
+def polar_cells() -> str:
+    """SQL twin of q_polar_cells: identical EPSG GN7-2 variant-B
+    arithmetic (functions/geo.polar_stereographic_forward_sql, same
+    driver-side constants), meter rounding before the sums."""
+    from ..functions.geo import polar_stereographic_forward_sql
+
+    mx, my = polar_stereographic_forward_sql("lon", "lat", -71.0)
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts)
+SELECT cast(floor(mx / 5000000.0e0) as bigint) AS cell_x,
+       cast(floor(my / 5000000.0e0) as bigint) AS cell_y,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

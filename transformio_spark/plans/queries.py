@@ -668,6 +668,39 @@ def q_mollweide_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_polar_cells(spark, sf_dir) -> DataFrame:
+    """Ellipsoidal polar stereographic (EPSG:3031, SURVEY op 14 /
+    reference tests/test_image_projections.py:39-41) end-to-end via
+    the Chain→Column compiler: EPSG GN7-2 variant-B arithmetic in
+    whole-stage codegen, same cell/sum observables as
+    mercator_cells/mollweide_cells (5,000-km cells — south-aspect
+    rho spans ~300M m at lat +85)."""
+    from ..kernels import Chain, MapProjection
+    from ..operators import compiler
+
+    pts = points_df(spark, sf_dir)
+    model = Chain([MapProjection("EPSG:4326", "EPSG:3031")])
+    out = compiler.with_transformed_columns(
+        pts, model, x="lon", y="lat", out_x="mx", out_y="my",
+    )
+    cell = 5_000_000.0
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
