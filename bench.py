@@ -36,6 +36,7 @@ EXTRA = [
     "pip_polygon",            # arbitrary-ring ray-cast PIP
     "mercator_cells",         # MapProjection chain (Column-compiled)
     "mollweide_cells",        # world projection via Newton aggregate fold
+    "polar_cells",            # ellipsoidal polar stereographic codegen
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
     "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank
