@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_cells": _shipped(q.q_mercator_cells),
         "mollweide_cells": _shipped(q.q_mollweide_cells),
         "polar_cells": _shipped(q.q_polar_cells),
+        "robinson_cells": _shipped(q.q_robinson_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "mercator_cells": oracles.mercator_cells(),
         "mollweide_cells": oracles.mollweide_cells(),
         "polar_cells": oracles.polar_cells(),
+        "robinson_cells": oracles.robinson_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "loo_residuals": oracles.loo_residuals(),
         "projective_transform": oracles.projective_transform(),

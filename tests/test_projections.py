@@ -446,3 +446,40 @@ def test_polar_chain_compiles_to_pure_codegen(spark):
         out = compiler.with_transformed_columns(df, model, x="lon", y="lat")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_robinson_column_and_sql_twins(spark):
+    """Column + SQL spline twins agree with the numpy kernel."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    kx, ky = pj.robinson_forward(GRID_LON, GRID_LAT)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(GRID_LON, GRID_LAT)],
+        "lon double, lat double",
+    )
+    cx, cy = geo.robinson_forward(F.col("lon"), F.col("lat"))
+    pdf = df.select(cx.alias("x"), cy.alias("y")).toPandas()
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+    sx, sy = geo.robinson_forward_sql("lon", "lat")
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": GRID_LON, "lat": GRID_LAT}))
+    d = con.sql(f"select {sx} as x, {sy} as y from pts").df()
+    np.testing.assert_allclose(d.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(d.y.values, ky, atol=1e-6)
+
+
+def test_robinson_chain_compiles_to_pure_codegen(spark):
+    from transformio_spark.operators import compiler
+
+    df = spark.range(50).select(
+        (F.col("id") * 7.0 - 175.0).alias("lon"),
+        (F.col("id") * 3.4 - 85.0).alias("lat"),
+    )
+    model = kt.Chain([kt.MapProjection("EPSG:4326", "ESRI:54030")])
+    out = compiler.with_transformed_columns(df, model, x="lon", y="lat")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan

@@ -180,6 +180,42 @@ def polar_stereographic_forward(
     return E, N
 
 
+def robinson_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Robinson (ESRI:54030) as pure Column arithmetic — codegen twin
+    of kernels.projections.robinson_forward.  The natural-cubic-spline
+    segment lookup is an element_at into literal coefficient arrays
+    (19 doubles each), so the tree stays small; arithmetic replicates
+    the kernel's _spline_eval op order exactly."""
+    from ..kernels.projections import (
+        _ROBINSON_MX,
+        _ROBINSON_MY,
+        _ROBINSON_X,
+        _ROBINSON_XSCALE,
+        _ROBINSON_Y,
+        _ROBINSON_YSCALE,
+        R_SPHERE,
+    )
+
+    aphi = F.least(F.greatest(F.abs(lat.cast("double")), F.lit(0.0)), F.lit(90.0))
+    i = F.least(F.floor(aphi / F.lit(5.0)).cast("int"), F.lit(17))
+    a = ((i + 1).cast("double") * F.lit(5.0) - aphi) / F.lit(5.0)
+    b = (aphi - i.cast("double") * F.lit(5.0)) / F.lit(5.0)
+
+    def spline(table, M):
+        ys = F.array(*[F.lit(float(v)) for v in table])
+        ms = F.array(*[F.lit(float(v)) for v in M])
+        yi, yi1 = F.element_at(ys, i + 1), F.element_at(ys, i + 2)
+        mi, mi1 = F.element_at(ms, i + 1), F.element_at(ms, i + 2)
+        cube = (a * a * a - a) * mi + (b * b * b - b) * mi1
+        return yi * a + b * yi1 + cube * F.lit(5.0) * F.lit(5.0) / F.lit(6.0)
+
+    X = spline(_ROBINSON_X, _ROBINSON_MX)
+    Y = spline(_ROBINSON_Y, _ROBINSON_MY)
+    x = F.lit(_ROBINSON_XSCALE * R_SPHERE) * X * F.radians(lon)
+    y = F.lit(_ROBINSON_YSCALE * R_SPHERE) * Y * F.signum(lat.cast("double"))
+    return x, y
+
+
 # ---------------------------------------------------------------------------
 # SQL text twins (for the DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -266,6 +302,39 @@ def polar_stereographic_forward_sql(
     E = f"({rho} * sin(radians({lon})))"
     N = f"(-{rho} * cos(radians({lon})))" if north else f"({rho} * cos(radians({lon})))"
     return E, N
+
+
+def robinson_forward_sql(lon: str, lat: str) -> tuple[str, str]:
+    """SQL twin of robinson_forward — same literal spline arrays via
+    1-indexed list_extract, same op order."""
+    from ..kernels.projections import (
+        _ROBINSON_MX,
+        _ROBINSON_MY,
+        _ROBINSON_X,
+        _ROBINSON_XSCALE,
+        _ROBINSON_Y,
+        _ROBINSON_YSCALE,
+        R_SPHERE,
+    )
+
+    aphi = f"least(greatest(abs(cast({lat} as double)), 0.0e0), 90.0e0)"
+    i = f"least(cast(floor({aphi} / 5.0e0) as int), 17)"
+    a = f"((cast(({i}) + 1 as double) * 5.0e0 - {aphi}) / 5.0e0)"
+    b = f"(({aphi} - cast(({i}) as double) * 5.0e0) / 5.0e0)"
+
+    def spline(table, M):
+        ys = "[" + ", ".join(dlit_sql(v) for v in table) + "]"
+        ms = "[" + ", ".join(dlit_sql(v) for v in M) + "]"
+        yi, yi1 = f"({ys}[({i}) + 1])", f"({ys}[({i}) + 2])"
+        mi, mi1 = f"({ms}[({i}) + 1])", f"({ms}[({i}) + 2])"
+        cube = f"(({a}*{a}*{a} - {a}) * {mi} + ({b}*{b}*{b} - {b}) * {mi1})"
+        return f"({yi} * {a} + {b} * {yi1} + {cube} * 5.0e0 * 5.0e0 / 6.0e0)"
+
+    X = spline(_ROBINSON_X, _ROBINSON_MX)
+    Y = spline(_ROBINSON_Y, _ROBINSON_MY)
+    x = f"({dlit_sql(_ROBINSON_XSCALE * R_SPHERE)} * {X} * radians({lon}))"
+    y = f"({dlit_sql(_ROBINSON_YSCALE * R_SPHERE)} * {Y} * sign(cast({lat} as double)))"
+    return x, y
 
 
 def dlit_sql(c: float) -> str:

@@ -78,6 +78,8 @@ def compile_columns(model) -> ColumnBuilder | None:
             return lambda x, y: geo.polar_stereographic_forward(x, y, -71.0)
         if pair == ("EPSG:4326", "EPSG:3995"):
             return lambda x, y: geo.polar_stereographic_forward(x, y, 71.0)
+        if pair == ("EPSG:4326", "ESRI:54030"):
+            return geo.robinson_forward  # literal-array spline lookup
         return None  # other analytic/pyproj pairs -> UDF kernel leg
     return None  # TIN and anything unknown -> UDF kernel leg
 

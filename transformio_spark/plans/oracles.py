@@ -296,6 +296,26 @@ ORDER BY 1, 2
 """
 
 
+def robinson_cells() -> str:
+    """SQL twin of q_robinson_cells: identical literal spline arrays
+    (functions/geo.robinson_forward_sql), meter rounding before sums."""
+    from ..functions.geo import robinson_forward_sql
+
+    mx, my = robinson_forward_sql("lon", "lat")
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts)
+SELECT cast(floor(mx / 2000000.0e0) as bigint) AS cell_x,
+       cast(floor(my / 2000000.0e0) as bigint) AS cell_y,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

@@ -701,6 +701,38 @@ def q_polar_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_robinson_cells(spark, sf_dir) -> DataFrame:
+    """Robinson (ESRI:54030, the reference's README MapProjection
+    doctest projection) via the Chain→Column compiler: the
+    natural-cubic-spline table lookup runs as element_at into literal
+    arrays, all whole-stage codegen.  Same observables as the other
+    projection gate queries (2,000-km cells)."""
+    from ..kernels import Chain, MapProjection
+    from ..operators import compiler
+
+    pts = points_df(spark, sf_dir)
+    model = Chain([MapProjection("EPSG:4326", "ESRI:54030")])
+    out = compiler.with_transformed_columns(
+        pts, model, x="lon", y="lat", out_x="mx", out_y="my",
+    )
+    cell = 2_000_000.0
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
