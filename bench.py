@@ -37,6 +37,7 @@ EXTRA = [
     "mercator_cells",         # MapProjection chain (Column-compiled)
     "mollweide_cells",        # world projection via Newton aggregate fold
     "polar_cells",            # ellipsoidal polar stereographic codegen
+    "robinson_cells",         # spline-table projection codegen
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
     "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank
