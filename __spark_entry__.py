@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
         "poly_roundtrip": _shipped(q.q_poly_roundtrip),
-        "warp_tile_checksums": _shipped(q.q_warp_tile_checksums),
+        "warp_affine_checksums": _shipped(q.q_warp_affine_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
         "quality_by_lang": _shipped(q.q_quality_by_lang),
         "token_stats": _shipped(q.q_token_stats),
@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(q.q_minhash_pairs),
         "simhash_buckets": _shipped(q.q_simhash_buckets),
         "media_features": _shipped(q.q_media_features),
+        "media_frames": _shipped(q.q_media_frames),
         "embedding_knn_l2": _shipped(q.q_embedding_knn_l2),
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
         "embedding_neardup_pairs": _shipped(q.q_embedding_neardup_pairs),
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "polar_cells": oracles.polar_cells(),
         "robinson_cells": oracles.robinson_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
+        "warp_affine_checksums": oracles.warp_affine_checksums(),
         "loo_residuals": oracles.loo_residuals(),
         "projective_transform": oracles.projective_transform(),
         "tin_transform": oracles.tin_transform(),
@@ -108,7 +110,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),
+        "media_features": oracles.media_features(),
         "minhash_pairs": oracles.minhash_pairs(),
+        "simhash_buckets": oracles.simhash_buckets(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),
         "embedding_neardup_pairs": oracles.embedding_neardup_pairs(),
@@ -124,24 +128,16 @@ def no_oracle_reason() -> dict[str, str]:
     no ``oracle_sql()`` twin — each is genuinely non-SQL-expressible
     (the driver records a rows-only check for these)."""
     return {
-        "warp_tile_checksums": (
-            "backward-map nearest-neighbour raster warp over uint8 tiles "
-            "(reference imwarp.py) — per-tile array kernel, not relational; "
-            "bit-equality of tiled vs whole-image warp is pinned in pytest"
-        ),
         "auto_choose_model": (
             "nested model-selection loop (fit 3 model classes x iterative "
             "outlier drop, reference accuracy.py:208-232) — iterative "
             "algorithm; README golden (poly-2/18pts/278.617602953) in pytest"
         ),
-        "media_features": (
-            "mapInPandas feature extraction over opaque binary media blobs "
-            "with a deterministic stub decoder — binary kernel, not SQL; "
-            "schema/batching verified in pytest"
-        ),
-        "simhash_buckets": (
-            "SimHash bit votes are xxhash64-seeded (no DuckDB equivalent "
-            "hash); deterministic, dup-invariance and hamming-distribution "
-            "properties pinned in pytest (test_dedup_similarity.py)"
+        "media_frames": (
+            "video frame-sampling over fabricated decode arrays — no video "
+            "container codec exists in this environment (the image/audio "
+            "kinds decode real TIFF/WAV containers and are fully oracled "
+            "via media_features); mapInPandas schema/batching and the "
+            "deterministic fake are pinned in pytest"
         ),
     }

@@ -169,3 +169,57 @@ def test_real_fixture_tiled_warp_matches_full(spark, land_png):
     assembled = raster.tiles_to_image(out_tiles.collect(), 256, 256)
     assert a6_tiled == pytest.approx(a6)
     assert_array_equal(assembled, full)
+
+
+# ---------------------------------------------------------------------------
+# WAV (kernels/wav.py) — round 4, the audio-kind container
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples16, channels=1, rate=16000, bits=16, extra_chunk=False):
+    import numpy as _np
+
+    pcm = _np.asarray(samples16).astype("<i2").tobytes() if bits == 16 else bytes(
+        samples16
+    )
+    body = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    if extra_chunk:
+        body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size padded
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_pcm16_roundtrip():
+    from transformio_spark.kernels import wav
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345, -12345], dtype=np.int16)
+    out = wav.decode_wav(_wav_bytes(s))
+    assert out.dtype == np.float32 and out.shape == (7,)
+    np.testing.assert_array_equal(out, s.astype(np.float32) / np.float32(32768.0))
+
+
+def test_wav_skips_unknown_chunks_and_handles_stereo_and_8bit():
+    from transformio_spark.kernels import wav
+
+    s = np.arange(-6, 6, dtype=np.int16)
+    out = wav.decode_wav(_wav_bytes(s, channels=2, extra_chunk=True))
+    assert out.shape == (6, 2)
+    u8 = bytes([0, 128, 255, 64])
+    out8 = wav.decode_wav(_wav_bytes(u8, bits=8))
+    np.testing.assert_array_equal(
+        out8, (np.array([0, 128, 255, 64], np.float32) - 128.0) / 128.0
+    )
+
+
+def test_wav_rejects_non_pcm_and_bad_magic():
+    from transformio_spark.kernels import wav
+
+    assert not wav.is_wav(b"RIFFxxxxAVI ")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav.decode_wav(b"not a wav")
+    bad = bytearray(_wav_bytes(np.zeros(4, np.int16)))
+    bad[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="format"):
+        wav.decode_wav(bytes(bad))

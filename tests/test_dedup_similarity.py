@@ -360,3 +360,94 @@ def test_ivf_trained_centroids_beat_random(embeddings):
         gains.append((n_probe, r_rand, r_trained))
         assert r_trained >= r_rand, gains
     assert any(t > r for _, r, t in gains), gains
+
+
+def test_synth_media_builds_real_containers(spark, sf_dir):
+    """Round 4: image payloads are genuine TIFF containers and audio
+    payloads genuine WAVs (Column-built), decoded by the TRUE codecs
+    to the formula pixels/samples the DuckDB oracle recomputes."""
+    from transformio_spark.kernels import tiff, wav
+    from transformio_spark.operators.multimodal import (
+        AUD_MULT, AUD_STEP, IMG_PX_MULT, IMG_PX_STEP, MEDIA_AUDIO_N,
+        MEDIA_IMG_BYTES,
+    )
+    from transformio_spark.sources import synth
+
+    docs = synth.docs_spans(spark, sf_dir).limit(90)
+    media = multimodal.synth_media(spark, docs)
+    rows = media.join(
+        synth.docs_spans(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"), "doc_num"
+        ).dropDuplicates(["media_id"]),
+        "media_id",
+    ).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    checked = {k: 0 for k in kinds}
+    for r in rows:
+        payload = bytes(r.payload)
+        if r.kind == "image":
+            assert tiff.is_tiff(payload)
+            arr = tiff.decode_tiff(payload)
+            expect = np.array(
+                [(r.doc_num * IMG_PX_MULT + m * IMG_PX_STEP) % 256
+                 for m in range(MEDIA_IMG_BYTES)], dtype=np.uint8,
+            ).reshape(arr.shape)
+            np.testing.assert_array_equal(arr, expect)
+        elif r.kind == "audio":
+            assert wav.is_wav(payload)
+            out = wav.decode_wav(payload)
+            u = (r.doc_num * AUD_MULT
+                 + np.arange(MEDIA_AUDIO_N) * AUD_STEP) % 65536
+            s = np.where(u >= 32768, u - 65536, u).astype(np.float32)
+            np.testing.assert_array_equal(out, s / np.float32(32768.0))
+        else:
+            assert not tiff.is_tiff(payload) and not wav.is_wav(payload)
+        checked[r.kind] += 1
+    assert all(v > 0 for v in checked.values())
+
+
+def test_simhash_md5_twin_matches_reimplementation(spark):
+    """The md5-bit SimHash gate pipeline (shingle→votes→fingerprint→
+    bucket) agrees with an independent pure-Python reimplementation,
+    and exact duplicates collide."""
+    import hashlib
+
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog",
+        "b": "the quick brown fox jumps over the lazy dog",  # dup of a
+        "c": "pack my box with five dozen liquor jugs today",
+        "d": "tiny",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id string, text string"
+    )
+    got = {r.id: r for r in dedup.simhash_md5_buckets(docs).collect()}
+
+    def pysimhash(text, k=8):
+        n = max(len(text) - (k - 1), 1)
+        shingles = {text[i:i + k] for i in range(n)}
+        counts = [0] * 64
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            for i in range(64):
+                j, b = divmod(i, 4)
+                counts[i] += (int(h[j], 16) >> b) & 1
+        nsh = len(shingles)
+        nibbles = [
+            sum((1 << b) if 2 * counts[4 * j + b] > nsh else 0 for b in range(4))
+            for j in range(16)
+        ]
+        hx = "".join("0123456789abcdef"[v] for v in nibbles)
+        bucket = (
+            nibbles[0] * 4096 + nibbles[1] * 256 + nibbles[2] * 16 + nibbles[3]
+        )
+        return hx, bucket
+
+    for doc_id, text in texts.items():
+        hx, bucket = pysimhash(text)
+        assert got[doc_id].simhash_hex == hx, doc_id
+        assert got[doc_id].bucket == bucket, doc_id
+    assert got["a"].simhash_hex == got["b"].simhash_hex
+    assert got["a"].bucket == got["b"].bucket
+    assert got["a"].simhash_hex != got["c"].simhash_hex

@@ -213,6 +213,74 @@ def minhash_lsh_pairs(
     )
 
 
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash_md5_exprs() -> tuple[list[str], str, str]:
+    """Engine-portable SQL fragments for the md5-bit SimHash twin.
+
+    Each shingle's 64 vote bits come from the first 16 hex digits of
+    ``md5(shingle)`` — bit ``i`` is bit ``i % 4`` of hex digit
+    ``i // 4``, extracted with arithmetic (`floor(d / 2^b) % 2`) that
+    parses identically in Spark SQL and DuckDB.  Returns
+    ``(bit_sum_exprs, hex_expr, bucket_expr)``: the 64 per-bit set
+    counts ``c0..c63`` (aggregates over a relation with an ``h`` md5
+    column), the 16-hex-char fingerprint expression over
+    ``(n, c0..c63)``, and the 16-bit prefix-bucket expression."""
+    sums = []
+    for i in range(64):
+        j, b = divmod(i, 4)
+        nib = f"(instr('{_HEX_DIGITS}', substring(h, {j + 1}, 1)) - 1)"
+        bit = f"(cast(floor({nib} / {2 ** b}) as int) % 2)"
+        sums.append(f"cast(sum({bit}) as bigint) AS c{i}")
+    nibbles = []
+    for j in range(16):
+        parts = [
+            f"(case when 2 * c{4 * j + b} > n then {2 ** b} else 0 end)"
+            for b in range(4)
+        ]
+        nibbles.append("(" + " + ".join(parts) + ")")
+    hex_expr = (
+        "concat("
+        + ", ".join(
+            f"substring('{_HEX_DIGITS}', {nib} + 1, 1)" for nib in nibbles
+        )
+        + ")"
+    )
+    bucket_expr = (
+        f"cast({nibbles[0]} * 4096 + {nibbles[1]} * 256 + "
+        f"{nibbles[2]} * 16 + {nibbles[3]} as bigint)"
+    )
+    return sums, hex_expr, bucket_expr
+
+
+def simhash_md5_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Oracle-verifiable SimHash twin: same shingle→votes→fingerprint→
+    prefix-bucket pipeline as :func:`simhash_buckets`, but the per-bit
+    vote source is md5 (available verbatim in DuckDB) instead of
+    xxhash64, so the ENTIRE pipeline gets a full rows+schema+hash
+    driver oracle.  xxhash64 stays the production hot path (one
+    non-cryptographic JVM hash per shingle vs md5's ~5-10x cost); the
+    two differ only in which deterministic bits feed the votes.
+    Returns (id, simhash_hex string, bucket long); explode+groupBy
+    plan — one shuffle on id, identical shape at 10^12 rows."""
+    sums, hex_expr, bucket_expr = simhash_md5_exprs()
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", F.md5("s").alias("h"))
+    grouped = exploded.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), *[F.expr(s) for s in sums]
+    )
+    return grouped.select(
+        "id",
+        F.expr(hex_expr).alias("simhash_hex"),
+        F.expr(bucket_expr).alias("bucket"),
+    )
+
+
 def simhash_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -31,18 +31,107 @@ FEATURE_SCHEMA = (
 )
 
 
+# Deterministic media-container geometry (shared with the DuckDB
+# oracle, plans/oracles.media_features): image = 8x8 RGB uncompressed
+# little-endian TIFF, audio = 64-sample 16-bit mono PCM WAV.  Pixel /
+# sample values are integer arithmetic on doc_num, so an oracle can
+# recompute the decoded values without parsing bytes while Spark runs
+# the true container-decode path (kernels/{tiff,wav}.py).
+MEDIA_IMG_W = 8
+MEDIA_IMG_H = 8
+MEDIA_IMG_BYTES = MEDIA_IMG_W * MEDIA_IMG_H * 3
+MEDIA_AUDIO_N = 64
+# pixel m (0..191):  (doc_num*31 + 7*m)  % 256
+# sample m (0..63): u=(doc_num*13 + 97*m) % 65536; int16 reinterpret
+IMG_PX_MULT, IMG_PX_STEP = 31, 7
+AUD_MULT, AUD_STEP = 13, 97
+
+
+def _tiff_wrapper_hex() -> tuple[str, str]:
+    """(header_hex, ifd_hex) for a minimal uncompressed 8x8 RGB TIFF:
+    8-byte header, pixel strip at offset 8, IFD after the strip."""
+    import struct
+
+    ifd_off = 8 + MEDIA_IMG_BYTES
+    pre = b"II*\x00" + struct.pack("<I", ifd_off)
+    entries = [  # (tag, type, count, value) — SHORT(3) packs in 2 bytes
+        (256, 3, 1, MEDIA_IMG_W),       # ImageWidth
+        (257, 3, 1, MEDIA_IMG_H),       # ImageLength
+        (259, 3, 1, 1),                 # Compression: none
+        (273, 4, 1, 8),                 # StripOffsets
+        (277, 3, 1, 3),                 # SamplesPerPixel (RGB)
+        (279, 4, 1, MEDIA_IMG_BYTES),   # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return pre.hex(), ifd.hex()
+
+
+def _wav_header_hex() -> str:
+    """Canonical 44-byte PCM WAV header (16-bit mono, 16 kHz)."""
+    import struct
+
+    data_sz = MEDIA_AUDIO_N * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_sz) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    hdr += b"data" + struct.pack("<I", data_sz)
+    return hdr.hex()
+
+
+def _hex_byte(v):
+    return F.lpad(F.hex(v), 2, "0")
+
+
 def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) -> DataFrame:
-    """Deterministic fake media table derived from doc ids: payload =
-    repeated md5 bytes, metadata from arithmetic.  Stands in for real
-    blob storage resolution of span media_refs."""
+    """Deterministic media table derived from doc ids — stands in for
+    real blob-storage resolution of span media_refs.  Image and audio
+    payloads are REAL containers (uncompressed TIFF / PCM WAV) built
+    Column-side as hex-string concat + unhex, with pixel/sample values
+    from integer arithmetic on doc_num — so the true codec path runs
+    on every row and a SQL oracle can recompute the decoded values.
+    Video payloads stay opaque md5-repeat bytes (no video container
+    codec in this environment)."""
+    px_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(MEDIA_IMG_BYTES - 1)),
+            lambda m: _hex_byte(
+                F.pmod(F.col("doc_num") * IMG_PX_MULT + m * IMG_PX_STEP, F.lit(256))
+            ),
+        ),
+        "",
+    )
+    tiff_pre, tiff_ifd = _tiff_wrapper_hex()
+    img_payload = F.unhex(F.concat(F.lit(tiff_pre), px_hex, F.lit(tiff_ifd)))
+
+    def sample_hex(m):
+        u = F.pmod(F.col("doc_num") * AUD_MULT + m * AUD_STEP, F.lit(65536))
+        lo = F.pmod(u, F.lit(256))
+        hi = F.floor(u / F.lit(256)).cast("long")
+        return F.concat(_hex_byte(lo), _hex_byte(hi))  # little-endian int16
+
+    wav_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(MEDIA_AUDIO_N - 1)), sample_hex), ""
+    )
+    wav_payload = F.unhex(F.concat(F.lit(_wav_header_hex()), wav_hex))
+
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_num") % 3 == 0, "image")
         .when(F.col("doc_num") % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
-        F.repeat(F.unhex(F.md5(F.col("doc_id"))), payload_bytes // 16)
-        .cast("binary")
+        F.when(F.col("doc_num") % 3 == 0, img_payload)
+        .when(F.col("doc_num") % 3 == 1, wav_payload)
+        .otherwise(
+            F.repeat(F.unhex(F.md5(F.col("doc_id"))), payload_bytes // 16).cast(
+                "binary"
+            )
+        )
         .alias("payload"),
         F.struct(
             (F.col("doc_num") % 640 + 64).cast("int").alias("width"),
@@ -57,11 +146,13 @@ def _decode_stub(kind: str, payload: bytes, meta) -> np.ndarray:
     """Decode a media payload.  IMAGE payloads with a real container
     magic decode through this package's pure-stdlib codecs
     (kernels/{png,jpeg,tiff}.py — round 3; the reference decodes via
-    PIL, imwarp.py:92-96).  Audio/video codecs (and unknown image
-    bytes) remain STUBBED — no torchaudio/av in this container — with
-    a DETERMINISTIC fake decode (seeded by payload digest) of the
-    right logical shape so downstream operators see realistic data.
-    Raises for unknown kinds exactly like a codec would."""
+    PIL, imwarp.py:92-96); AUDIO payloads with a RIFF/WAVE magic
+    decode through kernels/wav.py (round 4).  Video codecs (and
+    unknown image/audio bytes) remain STUBBED — no av libs in this
+    container — with a DETERMINISTIC fake decode (seeded by payload
+    digest) of the right logical shape so downstream operators see
+    realistic data.  Raises for unknown kinds exactly like a codec
+    would."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
     if kind == "image":
@@ -73,6 +164,11 @@ def _decode_stub(kind: str, payload: bytes, meta) -> np.ndarray:
             return jpeg.decode_jpeg(payload)
         if tiff.is_tiff(payload):
             return tiff.decode_tiff(payload)
+    if kind == "audio":
+        from ..kernels import wav
+
+        if wav.is_wav(payload):
+            return wav.decode_wav(payload)
     digest = hashlib.md5(payload).digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)

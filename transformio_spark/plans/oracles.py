@@ -423,6 +423,156 @@ ORDER BY 1, 2
 """
 
 
+def media_features() -> str:
+    """Arithmetic twin of the multimodal decode→feature query: the
+    Spark side builds real TIFF/WAV containers from integer formulas
+    on doc_num, decodes them with the true codecs and pools features
+    (operators/multimodal.py); this oracle recomputes the decoded
+    values directly from the same formulas — f0 = mean of the first
+    pool group (24 pixels / 8 samples), float32-cast exactly where
+    the kernel casts."""
+    from ..operators.multimodal import (
+        AUD_MULT,
+        AUD_STEP,
+        IMG_PX_MULT,
+        IMG_PX_STEP,
+    )
+    from ..sources.synth import DOC_NUM_SQL
+
+    img_sum = " + ".join(
+        f"((doc_num*{IMG_PX_MULT} + {IMG_PX_STEP * m}) % 256)" for m in range(24)
+    )
+    aud_terms = []
+    for m in range(8):
+        u = f"((doc_num*{AUD_MULT} + {AUD_STEP * m}) % 65536)"
+        aud_terms.append(
+            f"((CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END) / 32768.0)"
+        )
+    aud_sum = " + ".join(aud_terms)
+    return f"""
+WITH ids AS (SELECT {DOC_NUM_SQL} AS doc_num FROM lineitem),
+sel AS (SELECT doc_num FROM ids WHERE doc_num % 97 = 0 AND doc_num % 3 < 2),
+f AS (
+  SELECT CASE WHEN doc_num % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CASE WHEN doc_num % 3 = 0
+              THEN cast(({img_sum}) / 24.0 as real)
+              ELSE cast(({aud_sum}) / 8.0 as real)
+         END AS f0
+  FROM sel
+)
+SELECT kind,
+       cast(count(*) as bigint) AS n_media,
+       cast(count(*) as bigint) AS n_ok,
+       cast(round(avg(f0) * 100.0) as bigint) AS avg_f0_e2
+FROM f GROUP BY kind ORDER BY kind
+"""
+
+
+def warp_affine_checksums() -> str:
+    """Relational twin of the distributed affine warp gate
+    (plans/queries.q_warp_affine_checksums): regenerates the source
+    raster as a (col,row,r,g,b,a) table from the shared pixel
+    formulas, backward-maps every output pixel with the SAME
+    sequential two-stage inverse-affine arithmetic the kernel runs
+    (literal matrices from warp_gate_geometry — one combined matrix
+    would change fp association), rounds half-to-even (DuckDB
+    round_even == np.around), LEFT-joins to the source pixels
+    (out-of-bounds → the kernel's zero fill), and aggregates per
+    output tile."""
+    from .queries import (
+        WARP_GATE_OUT_TILE,
+        WARP_GATE_SRC,
+        warp_gate_geometry,
+    )
+
+    g = warp_gate_geometry()
+    (xscale, _, xoff, _, yscale, yoff) = g["affine"]
+    w, h = g["size"]
+    B, C = g["inv_mats"]
+    t = WARP_GATE_OUT_TILE
+    n = WARP_GATE_SRC
+    d = _dlit
+    return f"""
+WITH src AS (
+  SELECT cx.range AS sc, ry.range AS sr,
+         cast((cx.range*255)//{n} as bigint) AS pr,
+         cast((ry.range*255)//{n} as bigint) AS pg,
+         cast(((cx.range//32 + ry.range//32)%2)*255 as bigint) AS pb,
+         cast(255 as bigint) AS pa
+  FROM range({n}) cx, range({n}) ry
+),
+og AS (
+  SELECT cx.range AS c, ry.range AS r FROM range({w}) cx, range({h}) ry
+),
+bp AS (
+  SELECT c, r,
+         ({d(xoff)} + c * {d(xscale)}) AS xs,
+         ({d(yoff)} + r * {d(yscale)}) AS ys
+  FROM og
+),
+s1 AS (
+  SELECT c, r,
+         ({d(B[0][0])}*xs + {d(B[0][1])}*ys + {d(B[0][2])}) AS x1,
+         ({d(B[1][0])}*xs + {d(B[1][1])}*ys + {d(B[1][2])}) AS y1
+  FROM bp
+),
+s2 AS (
+  SELECT c, r,
+         cast(round_even({d(C[0][0])}*x1 + {d(C[0][1])}*y1 + {d(C[0][2])}, 0) as int) AS ci,
+         cast(round_even({d(C[1][0])}*x1 + {d(C[1][1])}*y1 + {d(C[1][2])}, 0) as int) AS ri
+  FROM s1
+),
+v AS (
+  SELECT s2.c, s2.r,
+         coalesce(src.pr, 0) AS vr, coalesce(src.pg, 0) AS vg,
+         coalesce(src.pb, 0) AS vb, coalesce(src.pa, 0) AS va
+  FROM s2 LEFT JOIN src ON src.sc = s2.ci AND src.sr = s2.ri
+),
+tp AS (
+  SELECT cast(c//{t} as int) AS tile_x, cast(r//{t} as int) AS tile_y,
+         (r % {t}) * least({t}, {w} - (c//{t})*{t}) + (c % {t}) + 1 AS p,
+         vr, vg, vb, va
+  FROM v
+)
+SELECT tile_x, tile_y,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(vr) as bigint) AS sum_r,
+       cast(sum(vg) as bigint) AS sum_g,
+       cast(sum(vb) as bigint) AS sum_b,
+       cast(sum(va) as bigint) AS sum_a,
+       cast(sum(p * (vr + vg*256 + vb*65536 + va*16777216)) as bigint) AS wsum
+FROM tp
+GROUP BY tile_x, tile_y
+ORDER BY tile_x, tile_y
+"""
+
+
+def simhash_buckets() -> str:
+    """Exact SQL twin of the md5-bit SimHash query (operators/dedup.
+    simhash_md5_buckets): identical shingling (shared with the minhash
+    oracle), md5 per shingle, and the SAME portable bit/vote/
+    fingerprint fragments (dedup.simhash_md5_exprs — one source of
+    truth for both engines)."""
+    from ..operators.dedup import simhash_md5_exprs
+
+    sums, hex_expr, bucket_expr = simhash_md5_exprs()
+    return f"""
+WITH sh AS (
+  SELECT cast(doc_id as varchar) AS id,
+         unnest(list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),
+                                             i -> substring(text, i, 8)))) AS s
+  FROM documents
+),
+hh AS (SELECT id, md5(s) AS h FROM sh),
+v AS (
+  SELECT id, cast(count(*) as bigint) AS n, {', '.join(sums)}
+  FROM hh GROUP BY id
+)
+SELECT id, {hex_expr} AS simhash_hex, {bucket_expr} AS bucket
+FROM v ORDER BY id
+"""
+
+
 def embedding_ann_lsh(
     k: int = 5, n_planes: int = 4, n_tables: int = 4, seed: int = 7,
     dim: int = 64,
