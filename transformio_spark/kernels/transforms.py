@@ -573,9 +573,9 @@ class MapProjection(_BaseTransform):
         ("EPSG:3857", "EPSG:4326"): lambda: _SphericalMercator(forward=False),
     }
     # world projections from kernels/projections.py (public Snyder /
-    # EPSG GN7-2 formulas) — covers the reference's projection test
-    # surface (reference tests/test_image_projections.py:24-46)
-    # except EPSG:5939, which stays pyproj-gated.
+    # EPSG GN7-2 formulas) — covers the reference's COMPLETE
+    # projection test surface (tests/test_image_projections.py:24-46),
+    # incl. EPSG:5939 from published registry parameters (round 4).
     from .projections import ANALYTIC_PROJECTIONS as _AP
 
     for _code, (_fwd_maker, _inv_maker) in _AP.items():

@@ -264,8 +264,8 @@ def load_image(src: str) -> np.ndarray:
         return jpeg.decode_jpeg(data)
     raise ValueError(
         "unsupported image format (PIL is not available in this "
-        "environment) — provide .npy, binary PPM/PGM, PNG, or "
-        "baseline TIFF"
+        "environment) — provide .npy, binary PPM/PGM, PNG, "
+        "baseline TIFF, or baseline JPEG"
     )
 
 
