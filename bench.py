@@ -41,6 +41,10 @@ EXTRA = [
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
     "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank
+    # round-4 additions
+    "simhash_buckets",        # md5-bit SimHash (explode+64-sum groupBy)
+    "media_features",         # real TIFF/WAV container decode pipeline
+    "warp_affine_checksums",  # distributed tiled warp + Column byte aggs
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing
