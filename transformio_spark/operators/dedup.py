@@ -216,22 +216,27 @@ def minhash_lsh_pairs(
 _HEX_DIGITS = "0123456789abcdef"
 
 
-def simhash_md5_exprs() -> tuple[list[str], str, str]:
+def simhash_md5_exprs() -> tuple[list[str], list[str], str, str]:
     """Engine-portable SQL fragments for the md5-bit SimHash twin.
 
     Each shingle's 64 vote bits come from the first 16 hex digits of
     ``md5(shingle)`` — bit ``i`` is bit ``i % 4`` of hex digit
-    ``i // 4``, extracted with arithmetic (`floor(d / 2^b) % 2`) that
-    parses identically in Spark SQL and DuckDB.  Returns
-    ``(bit_sum_exprs, hex_expr, bucket_expr)``: the 64 per-bit set
-    counts ``c0..c63`` (aggregates over a relation with an ``h`` md5
-    column), the 16-hex-char fingerprint expression over
-    ``(n, c0..c63)``, and the 16-bit prefix-bucket expression."""
+    ``i // 4``.  The digit values ``d0..d15`` are projected ONCE per
+    shingle (16 instr/substring calls) and the 64 bit sums are cheap
+    arithmetic over them (`floor(d / 2^b) % 2`) — everything parses
+    identically in Spark SQL and DuckDB.  Returns ``(digit_exprs,
+    bit_sum_exprs, hex_expr, bucket_expr)``: d0..d15 over an ``h``
+    md5 column, the per-bit set-count aggregates ``c0..c63`` over
+    (d0..d15), the 16-hex-char fingerprint over ``(n, c0..c63)``,
+    and the 16-bit prefix-bucket expression."""
+    digits = [
+        f"(instr('{_HEX_DIGITS}', substring(h, {j + 1}, 1)) - 1) AS d{j}"
+        for j in range(16)
+    ]
     sums = []
     for i in range(64):
         j, b = divmod(i, 4)
-        nib = f"(instr('{_HEX_DIGITS}', substring(h, {j + 1}, 1)) - 1)"
-        bit = f"(cast(floor({nib} / {2 ** b}) as int) % 2)"
+        bit = f"(cast(floor(d{j} / {2 ** b}) as int) % 2)"
         sums.append(f"cast(sum({bit}) as bigint) AS c{i}")
     nibbles = []
     for j in range(16):
@@ -251,7 +256,7 @@ def simhash_md5_exprs() -> tuple[list[str], str, str]:
         f"cast({nibbles[0]} * 4096 + {nibbles[1]} * 256 + "
         f"{nibbles[2]} * 16 + {nibbles[3]} as bigint)"
     )
-    return sums, hex_expr, bucket_expr
+    return digits, sums, hex_expr, bucket_expr
 
 
 def simhash_md5_buckets(
@@ -266,11 +271,15 @@ def simhash_md5_buckets(
     two differ only in which deterministic bits feed the votes.
     Returns (id, simhash_hex string, bucket long); explode+groupBy
     plan — one shuffle on id, identical shape at 10^12 rows."""
-    sums, hex_expr, bucket_expr = simhash_md5_exprs()
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", F.md5("s").alias("h"))
+    digits, sums, hex_expr, bucket_expr = simhash_md5_exprs()
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_shingles(F.col(text_col), k)).alias("s"),
+        )
+        .select("id", F.md5("s").alias("h"))
+        .selectExpr("id", *digits)
+    )
     grouped = exploded.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"), *[F.expr(s) for s in sums]
     )

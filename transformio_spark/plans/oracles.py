@@ -555,7 +555,7 @@ def simhash_buckets() -> str:
     truth for both engines)."""
     from ..operators.dedup import simhash_md5_exprs
 
-    sums, hex_expr, bucket_expr = simhash_md5_exprs()
+    digits, sums, hex_expr, bucket_expr = simhash_md5_exprs()
     return f"""
 WITH sh AS (
   SELECT cast(doc_id as varchar) AS id,
@@ -564,9 +564,10 @@ WITH sh AS (
   FROM documents
 ),
 hh AS (SELECT id, md5(s) AS h FROM sh),
+dd AS (SELECT id, {', '.join(digits)} FROM hh),
 v AS (
   SELECT id, cast(count(*) as bigint) AS n, {', '.join(sums)}
-  FROM hh GROUP BY id
+  FROM dd GROUP BY id
 )
 SELECT id, {hex_expr} AS simhash_hex, {bucket_expr} AS bucket
 FROM v ORDER BY id

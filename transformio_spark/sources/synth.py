@@ -22,7 +22,23 @@ from . import synthspec
 
 
 def raw_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The flat documents corpus.  Same conditional-repartition logic
+    as docs_spans: the local testdata is a single-row-group parquet
+    file → one scan split, which would serialize the shingling /
+    hashing of every text-analysis and dedup operator onto ONE core
+    (measured: the round-4 simhash explode ran 1-task, ~8 s where
+    ~1 s is available; an Iceberg scan on a cluster yields many
+    splits and skips this)."""
+    scan = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism * 2
+    cache_key = (id(spark), f"{sf_dir}/documents.parquet")
+    need = _REPARTITION_CACHE.get(cache_key)
+    if need is None:
+        need = scan.rdd.getNumPartitions() < par
+        _REPARTITION_CACHE[cache_key] = need
+    if need:
+        scan = scan.repartition(par, "doc_id")
+    return scan
 
 
 _SPAN_FIELDS = "kind string, text string, media_ref string, offset int"
