@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_choose_model": _shipped(q.q_auto_choose_model),
         "dedup_exact": _shipped(q.q_dedup_exact),
         "minhash_pairs": _shipped(q.q_minhash_pairs),
+        "neardup_components": _shipped(q.q_neardup_components),
+        "streaming_window_counts": _shipped(q.q_streaming_window_counts),
         "simhash_buckets": _shipped(q.q_simhash_buckets),
         "media_features": _shipped(q.q_media_features),
         "media_frames": _shipped(q.q_media_frames),
@@ -113,6 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.media_features(),
         "minhash_pairs": oracles.minhash_pairs(),
         "simhash_buckets": oracles.simhash_buckets(),
+        "neardup_components": oracles.neardup_components(),
+        "streaming_window_counts": oracles.streaming_window_counts(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),
         "embedding_neardup_pairs": oracles.embedding_neardup_pairs(),

@@ -45,6 +45,8 @@ EXTRA = [
     "simhash_buckets",        # md5-bit SimHash (explode+64-sum groupBy)
     "media_features",         # real TIFF/WAV container decode pipeline
     "warp_affine_checksums",  # distributed tiled warp + Column byte aggs
+    "neardup_components",     # LSH pairs -> connected components
+    "streaming_window_counts",  # AvailableNow windowed streaming drain
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

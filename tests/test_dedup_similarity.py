@@ -451,3 +451,22 @@ def test_simhash_md5_twin_matches_reimplementation(spark):
     assert got["a"].simhash_hex == got["b"].simhash_hex
     assert got["a"].bucket == got["b"].bucket
     assert got["a"].simhash_hex != got["c"].simhash_hex
+
+
+def test_connected_components_chain_merge(spark):
+    """A~B, B~C, D~E: transitive closure must merge A/B/C into one
+    keep-one group even though (A,C) was never emitted."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("w", "x")],
+        "id_a string, id_b string",
+    )
+    comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["d"] == comps["e"] == "d"
+    assert comps["w"] == comps["x"] == comps["y"] == comps["z"] == "w"
+    with pytest.raises(RuntimeError, match="converge"):
+        # a 5-hop path cannot converge in 1 round
+        chain = spark.createDataFrame(
+            [(str(i), str(i + 1)) for i in range(6)], "id_a string, id_b string"
+        )
+        dedup.connected_components(chain, max_iter=1)

@@ -111,3 +111,34 @@ def test_stateful_dedup_accumulates_across_batches(spark, sf_dir, tmp_path):
         k1, c1 = first[fp]
         assert cnt == 2 * c1
         assert keeper == k1
+
+
+def test_streaming_event_window_counts_equals_batch(spark, sf_dir):
+    """AvailableNow windowed aggregation drains to the exact batch
+    aggregation over the same rows (the driver-gate streaming query)."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.streaming.stream import (
+        EVENTS_SCHEMA,
+        streaming_event_window_counts,
+    )
+
+    got = streaming_event_window_counts(
+        spark, f"{sf_dir}/events.parquet"
+    ).collect()
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            (F.floor(F.col("ts").cast("long") / 21600) * 21600).alias(
+                "win_start_s"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100.0, 0).cast("long").alias("value_e2"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 10

@@ -290,6 +290,101 @@ def simhash_md5_buckets(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    dedup ENDGAME: pair lists must become disjoint keep-one groups
+    before any row is dropped (A~B, B~C must retire B AND C even when
+    (A,C) was never emitted).
+
+    Min-label propagation: every node starts labeled with itself;
+    each round takes the min of its own and its neighbors' labels;
+    stops at the first fixpoint (one count() action per round).
+    Rounds needed = graph diameter — near-dup graphs are
+    diameter-bounded in practice (clusters are boilerplate families,
+    a few hops wide), so this is 3-5 shuffle rounds at any corpus
+    size; for adversarially deep graphs the published alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") drops it to O(log^2 n)
+    rounds with the same join/groupBy primitives.  ``max_iter`` is a
+    hard stop (raises — an UNCONVERGED component labeling silently
+    under-merges groups, which a dedup pipeline must never do).
+
+    Returns (id, comp) for every node appearing in ``pairs``; comp is
+    the component's minimum id."""
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    sym = sym.cache()
+    for _ in range(max_iter):
+        labels = labels.cache()
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("comp").alias("v_comp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"],
+                    F.coalesce(nbr_min["nbr_comp"], labels["comp"]),
+                ).alias("comp"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    sym.unpersist()
+    return labels
+
+
+def neardup_component_summary(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH pairs → connected components → one row per
+    keep-one group: (comp, n_members, members csv)."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    comps = connected_components(pairs)
+    return comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("id")), ",").alias("members"),
+    )
+
+
 def simhash_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -423,6 +423,55 @@ ORDER BY 1, 2
 """
 
 
+def neardup_components() -> str:
+    """Recursive-CTE twin of the clustering query: brute-force
+    exact-Jaccard pairs (same recall-verified oracle basis as
+    minhash_pairs), symmetric edges, min-label closure via WITH
+    RECURSIVE (UNION dedup terminates the fixpoint), then per-
+    component summaries."""
+    return """
+WITH RECURSIVE sh AS (
+  SELECT cast(doc_id as varchar) AS id,
+         list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),
+                                      i -> substring(text, i, 8))) AS s
+  FROM documents
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE cast(len(list_intersect(a.s, b.s)) as double)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+reach AS (
+  SELECT u AS id, u AS lab FROM edges
+  UNION
+  SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON r.id = e.v
+),
+lab AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+SELECT comp, cast(count(*) as bigint) AS n_members,
+       string_agg(id, ',' ORDER BY id) AS members
+FROM lab GROUP BY comp ORDER BY comp
+"""
+
+
+def streaming_window_counts(window_s: int = 21600) -> str:
+    """Batch twin of the AvailableNow streaming aggregation: Spark's
+    window(ts, '6 hours') starts align to the unix epoch, i.e.
+    floor-division of epoch seconds."""
+    return f"""
+SELECT cast(floor(epoch(ts)/{window_s}.0) as bigint)*{window_s} AS win_start_s,
+       event_type,
+       cast(count(*) as bigint) AS n_events,
+       cast(round(sum(value)*100.0) as bigint) AS value_e2
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def media_features() -> str:
     """Arithmetic twin of the multimodal decode→feature query: the
     Spark side builds real TIFF/WAV containers from integer formulas

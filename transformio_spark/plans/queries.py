@@ -584,6 +584,34 @@ def q_simhash_buckets(spark, sf_dir) -> DataFrame:
     return dedup.simhash_md5_buckets(docs).orderBy("id")
 
 
+def q_neardup_components(spark, sf_dir) -> DataFrame:
+    """Near-duplicate CLUSTERING (round 4): MinHash-LSH pairs →
+    distributed connected components (min-label propagation,
+    operators/dedup.connected_components) → one row per keep-one
+    group.  The oracle recomputes components over the brute-force
+    exact-Jaccard pair set with a DuckDB recursive CTE — valid by the
+    same exhaustively-verified-recall argument as minhash_pairs."""
+    from ..operators import dedup
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.neardup_component_summary(docs, threshold=0.5).orderBy("comp")
+
+
+def q_streaming_window_counts(spark, sf_dir) -> DataFrame:
+    """Structured Streaming through the driver gate (round 4):
+    readStream over the events parquet → watermark → event-time
+    window/event_type aggregation → AvailableNow drain to a memory
+    sink.  Complete-mode final state equals the batch aggregation,
+    so the oracle is plain SQL over the same rows."""
+    from ..streaming import stream
+
+    return stream.streaming_event_window_counts(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("win_start_s", "event_type")
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal decode → feature extract with a FULL oracle (round
     4): image payloads are real uncompressed-TIFF containers and audio

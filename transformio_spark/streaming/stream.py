@@ -47,6 +47,69 @@ def streaming_tile_counts(
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_event_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time windowed aggregates through the REAL streaming
+    engine, deterministically: ``readStream`` over the events parquet
+    → watermark → window(ts)/event_type aggregation → memory sink
+    with ``Trigger.AvailableNow`` (drains all available input, then
+    stops).  Complete output mode makes the final table equal the
+    batch aggregation, so the driver's DuckDB oracle replays it as
+    plain SQL — a streaming pipeline with a full rows+schema+hash
+    gate.  Window starts surface as epoch seconds (timestamp tz
+    handling stays out of the hash)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    if os.path.isfile(events_path):
+        # FileStreamSource requires a DIRECTORY (its basePath); stage
+        # a single-file input as a symlink inside a deterministic
+        # temp dir (idempotent per source path)
+        key = hashlib.md5(os.path.abspath(events_path).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(events_path), link)
+        events_path = d
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100.0, 0).cast("long").alias("value_e2"),
+        )
+    )
+    name = f"stream_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").cast("long").alias("win_start_s"),
+        "event_type",
+        "n_events",
+        "value_e2",
+    )
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     docs_dir: str,
