@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_triangle": _shipped(q.q_pip_triangle),
         "pip_polygon": _shipped(q.q_pip_polygon),
         "knn_city_assign": _shipped(q.q_knn_city_assign),
+        "radius_join": _shipped(q.q_radius_join),
+        "events_asof_join": _shipped(q.q_events_asof_join),
         "hotspot_share": _shipped(q.q_hotspot_share),
         "affine_fit": _shipped(q.q_affine_fit),
         "span_pair_distance": _shipped(q.q_span_pair_distance),
@@ -93,6 +95,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangle": oracles.pip_triangle_counts(),
         "pip_polygon": oracles.pip_polygon_counts(),
         "knn_city_assign": oracles.knn_counts(),
+        "radius_join": oracles.radius_join(),
+        "events_asof_join": oracles.events_asof_join(),
         "hotspot_share": oracles.hotspot_share(),
         "affine_fit": oracles.affine_fit(),
         "span_pair_distance": oracles.span_pair_distance(),

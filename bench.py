@@ -47,6 +47,8 @@ EXTRA = [
     "warp_affine_checksums",  # distributed tiled warp + Column byte aggs
     "neardup_components",     # LSH pairs -> connected components
     "streaming_window_counts",  # AvailableNow windowed streaming drain
+    "radius_join",            # range join as tile-cover equi-join
+    "events_asof_join",       # as-of join via union + window pass
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

@@ -69,3 +69,64 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_radius_cover_cells_recall(spark):
+    """Every point within the radius must land in a covered cell —
+    the equi-join candidate set can over-cover but never miss."""
+    import math
+
+    import numpy as np
+
+    from transformio_spark.functions import tiles
+    from transformio_spark.operators.spatial_join import radius_cover_cells
+
+    rng = np.random.default_rng(3)
+    for lon0, lat0, r in ((139.69, 35.69, 800.0), (31.2, 30.0, 500.0),
+                          (-99.1, 19.4, 1200.0), (10.0, 80.0, 700.0)):
+        cells = set(radius_cover_cells(lon0, lat0, r, zoom=6))
+        # rejection-sample points inside the radius
+        dlat = r / 110.0
+        dlon = r / (111.0 * math.cos(math.radians(abs(lat0) + dlat)))
+        lons = lon0 + rng.uniform(-dlon, dlon, 4000)
+        lats = np.clip(lat0 + rng.uniform(-dlat, dlat, 4000), -84.99, 84.99)
+        R = 6367.0
+        a = (np.sin(np.radians(lats - lat0) / 2) ** 2
+             + np.cos(np.radians(lat0)) * np.cos(np.radians(lats))
+             * np.sin(np.radians(lons - lon0) / 2) ** 2)
+        d = 2 * R * np.arcsin(np.sqrt(a))
+        inside = d <= r
+        df = spark.createDataFrame(
+            [(float(lo), float(la)) for lo, la in
+             zip(lons[inside], lats[inside])],
+            "lon double, lat double",
+        )
+        got = {
+            r2.cell for r2 in df.select(
+                tiles.tile_id(F.col("lon"), F.col("lat"), 6).alias("cell")
+            ).distinct().collect()
+        }
+        assert got <= cells, f"cover missed cells at ({lon0},{lat0})"
+
+
+def test_asof_join_backward_semantics(spark):
+    from transformio_spark.operators.temporal import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 50, "e2"), (2, 10, "e3"), (3, 7, "e4")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r_eq"), (1, 60, "r_mid"), (1, 40, "r_old"), (2, 20, "r_late")],
+        "user_id long, ts long, label string",
+    )
+    out = {
+        r.tag: r.who
+        for r in asof_join_backward(
+            left, right, "user_id", "ts", {"who": "label"}
+        ).collect()
+    }
+    assert out["e1"] == "r_eq"     # tie at equal ts is visible (<=)
+    assert out["e2"] == "r_old"    # latest at-or-before 50
+    assert out["e3"] is None       # only future right rows
+    assert out["e4"] is None       # key with no right rows

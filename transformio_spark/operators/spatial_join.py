@@ -282,3 +282,78 @@ def knn_join(
         "knn_rank", F.row_number().over(w)
     )
     return ranked.where(F.col("knn_rank") <= k).drop("c_lon", "c_lat")
+
+
+def radius_cover_cells(
+    lon: float, lat: float, radius_km: float, zoom: int
+) -> list[int]:
+    """Driver-side tile cover of a radius around a center — the
+    candidate key set for :func:`radius_join_counts`.  Over-covers by
+    a 5% margin (candidates are refined by exact haversine, so only
+    RECALL matters and the bbox is deliberately generous); raises on
+    antimeridian wrap (production splits the bbox into two segments —
+    out of scope for the gate centers, all far from ±180)."""
+    import math
+
+    margin = 1.05
+    dlat = radius_km * margin / 110.574
+    coslat = math.cos(math.radians(min(abs(lat) + dlat, 84.9)))
+    dlon = radius_km * margin / (111.320 * max(coslat, 1e-6))
+    if lon - dlon < -180.0 or lon + dlon >= 180.0:
+        raise ValueError("radius bbox wraps the antimeridian")
+    n = 1 << zoom
+
+    def txy(lo, la):
+        tx = math.floor((round(lo * 10000) + 1_800_000) * n / float(tiles.LON_SPAN_E4))
+        ty = math.floor((round(la * 10000) + 850_000) * n / float(tiles.LAT_SPAN_E4))
+        return (min(max(tx, 0), n - 1), min(max(ty, 0), n - 1))
+
+    tx0, ty0 = txy(lon - dlon, max(lat - dlat, -85.0))
+    tx1, ty1 = txy(lon + dlon, min(lat + dlat, 84.9999))
+    return [
+        ty * n + tx
+        for ty in range(ty0, ty1 + 1)
+        for tx in range(tx0, tx1 + 1)
+    ]
+
+
+def radius_join_counts(
+    points: DataFrame,
+    centers: list[tuple[int, float, float]],
+    radius_km: float,
+    zoom: int = 6,
+) -> DataFrame:
+    """Spatial RANGE join (distance-radius): per center, the number of
+    points within ``radius_km`` (haversine, R=6367 like the
+    reference's geodesic metric).  Scale shape: the unbounded
+    distance predicate becomes a hash EQUI-join on tile_id — each
+    center's radius bbox expands to its tile cover (tiny, broadcast),
+    points carry their tile key, and the exact haversine refine runs
+    only on candidates inside covered tiles.  Zero shuffles of the
+    big side beyond the final per-center aggregation."""
+    spark = points.sparkSession
+    cand = [
+        (cid, cell)
+        for cid, lon, lat in centers
+        for cell in radius_cover_cells(lon, lat, radius_km, zoom)
+    ]
+    cand_df = spark.createDataFrame(cand, "center_id int, cell long")
+    cdf = spark.createDataFrame(
+        list(centers), "center_id int, c_lon double, c_lat double"
+    )
+    keyed = points.withColumn(
+        "cell", tiles.tile_id(F.col("lon"), F.col("lat"), zoom)
+    )
+    matched = (
+        keyed.join(F.broadcast(cand_df), "cell")
+        .join(F.broadcast(cdf), "center_id")
+        .where(
+            geo.haversine_km(
+                F.col("lon"), F.col("lat"), F.col("c_lon"), F.col("c_lat")
+            )
+            <= F.lit(float(radius_km))
+        )
+    )
+    return matched.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("n_within")
+    )

@@ -423,6 +423,42 @@ ORDER BY 1, 2
 """
 
 
+def radius_join() -> str:
+    """Brute-force twin of the tile-cover radius join: every
+    (point, center) pair distance-filtered directly — no cells, so
+    agreement certifies the cover's recall."""
+    from ..sources.oracle import centers_cte, points_cte
+    from .queries import RADIUS_JOIN_KM
+
+    hav = haversine_km_sql("p.lon", "p.lat", "c.c_lon", "c.c_lat")
+    return f"""
+WITH {points_cte()}, {centers_cte()}
+SELECT c.center_id, cast(count(*) as bigint) AS n_within
+FROM pts p CROSS JOIN centers c
+WHERE {hav} <= {RADIUS_JOIN_KM!r}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_asof_join() -> str:
+    """DuckDB-native ASOF LEFT JOIN twin of the union+window as-of
+    implementation (operators/temporal.py)."""
+    return """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       coalesce(
+         cast(floor(epoch(c.ts)) as bigint) - cast(floor(epoch(v.view_ts)) as bigint),
+         -1) AS gap_s
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts
+ORDER BY c.event_id
+"""
+
+
 def neardup_components() -> str:
     """Recursive-CTE twin of the clustering query: brute-force
     exact-Jaccard pairs (same recall-verified oracle basis as

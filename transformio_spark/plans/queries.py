@@ -584,6 +584,58 @@ def q_simhash_buckets(spark, sf_dir) -> DataFrame:
     return dedup.simhash_md5_buckets(docs).orderBy("id")
 
 
+RADIUS_JOIN_KM = 800.0
+RADIUS_JOIN_ZOOM = 6
+
+
+def q_radius_join(spark, sf_dir) -> DataFrame:
+    """Spatial RANGE join (round 4): per city center, the count of
+    pipeline points within RADIUS_JOIN_KM — the unbounded distance
+    predicate rewritten as a tile-cover hash equi-join + exact
+    haversine refine (operators/spatial_join.radius_join_counts).
+    Oracle = brute-force cross-join distance filter; agreement proves
+    the cover's recall is exact."""
+    from ..operators import spatial_join
+    from ..sources import synthspec
+
+    centers = [
+        (i, lon, lat) for i, (lon, lat) in enumerate(synthspec.CITIES)
+    ]
+    pts = points_df(spark, sf_dir)
+    return spatial_join.radius_join_counts(
+        pts, centers, RADIUS_JOIN_KM, zoom=RADIUS_JOIN_ZOOM
+    ).orderBy("center_id")
+
+
+def q_events_asof_join(spark, sf_dir) -> DataFrame:
+    """As-of (backward) temporal join (round 4): every click event
+    gains the latest view at-or-before it by the same user
+    (operators/temporal.asof_join_backward — one shuffle, window
+    pass).  Oracle = DuckDB's native ASOF LEFT JOIN.  Gap surfaces
+    in whole seconds; clicks with no prior view map to -1."""
+    from ..operators import temporal
+    from ..streaming.stream import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    out = temporal.asof_join_backward(
+        clicks, views, "user_id", "ts", {"view_ts": "view_ts"}
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.col("ts").cast("long") - F.col("view_ts").cast("long"),
+            F.lit(-1),
+        ).cast("long").alias("gap_s"),
+    ).orderBy("event_id")
+
+
 def q_neardup_components(spark, sf_dir) -> DataFrame:
     """Near-duplicate CLUSTERING (round 4): MinHash-LSH pairs →
     distributed connected components (min-label propagation,
