@@ -100,3 +100,27 @@ def test_lineage_scales_to_10k_units(spark, tmp_path):
     df = log.read(spark)
     assert df.count() == 10_000
     assert df.schema.simpleString().startswith("struct<run_id:string")
+
+
+def test_catalog_time_travel_rollback_incremental(spark, tmp_path):
+    """Iceberg-shaped snapshot semantics on the catalog seam: append
+    snapshots accumulate, time-travel reads an old snapshot,
+    incremental reads only the delta, rollback is a new snapshot."""
+    from transformio_spark.sources.catalog import ParquetSnapshotCatalog
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "tables"))
+    df1 = spark.range(0, 5).withColumnRenamed("id", "v")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "v")
+    cat.write(df1, "t", mode="overwrite")           # snap 0
+    cat.write(df2, "t", mode="append")              # snap 1
+
+    vals = lambda df: sorted(r.v for r in df.collect())
+    assert vals(cat.read(spark, "t")) == list(range(8))
+    assert vals(cat.read(spark, "t", snapshot=0)) == list(range(5))
+    assert vals(cat.read_incremental(spark, "t", 0)) == [5, 6, 7]
+    assert vals(cat.read_incremental(spark, "t", 0, 0)) == []
+
+    cat.rollback("t", 0)                            # snap 2 = snap 0 files
+    assert vals(cat.read(spark, "t")) == list(range(5))
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 3 and snaps[2]["mode"] == "rollback-to-0"

@@ -79,3 +79,48 @@ class ParquetSnapshotCatalog:
 
     def snapshots(self, name: str) -> list[dict]:
         return self._manifest(name)["snapshots"]
+
+    def rollback(self, name: str, snapshot: int) -> None:
+        """Roll the table back to an earlier snapshot — Iceberg-style:
+        the rollback is itself a NEW snapshot entry referencing the
+        old file set (history is never rewritten; a later reader of
+        the log sees the rollback as an event)."""
+        man = self._manifest(name)
+        if not (0 <= snapshot < len(man["snapshots"])):
+            raise ValueError(f"no snapshot {snapshot} in table {name}")
+        src = man["snapshots"][snapshot]
+        man["snapshots"].append(
+            {
+                "id": len(man["snapshots"]),
+                "files": list(src["files"]),
+                "ts": time.time(),
+                "mode": f"rollback-to-{snapshot}",
+            }
+        )
+        man["current"] = man["snapshots"][-1]["id"]
+        self._commit(name, man)
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED after ``from_snapshot`` up to ``to_snapshot``
+        (default current) — the Iceberg incremental-scan shape a
+        resumed sweep or downstream CDC consumer reads, proportional
+        to the delta instead of the table."""
+        man = self._manifest(name)
+        to_idx = man["current"] if to_snapshot is None else to_snapshot
+        if to_idx is None:
+            raise FileNotFoundError(f"table {name} has no snapshot")
+        base = set(man["snapshots"][from_snapshot]["files"])
+        delta = [
+            f for f in man["snapshots"][to_idx]["files"] if f not in base
+        ]
+        if not delta:
+            return spark.read.parquet(
+                *man["snapshots"][to_idx]["files"]
+            ).limit(0)
+        return spark.read.parquet(*delta)
