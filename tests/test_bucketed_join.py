@@ -130,3 +130,40 @@ def test_asof_join_backward_semantics(spark):
     assert out["e2"] == "r_old"    # latest at-or-before 50
     assert out["e3"] is None       # only future right rows
     assert out["e4"] is None       # key with no right rows
+
+
+def test_asof_join_random_matches_bruteforce(spark):
+    """Property: on random keyed event sets, the union+window as-of
+    equals per-row brute force (latest right ts <= left ts per key)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n_l, n_r = 40, 60
+        lk = rng.integers(0, 5, n_l)
+        lt = rng.integers(0, 100, n_l)
+        rk = rng.integers(0, 5, n_r)
+        rt = rng.integers(0, 100, n_r)
+        # unique right (key, ts) so "the latest" is well-defined
+        seen = set()
+        rrows = []
+        for k, t in zip(rk, rt):
+            if (int(k), int(t)) not in seen:
+                seen.add((int(k), int(t)))
+                rrows.append((int(k), int(t), f"r{k}-{t}"))
+        lrows = [(int(k), int(t), i) for i, (k, t) in enumerate(zip(lk, lt))]
+        left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+        right = spark.createDataFrame(rrows, "k long, ts long, label string")
+        from transformio_spark.operators.temporal import asof_join_backward
+
+        got = {
+            r.lid: r.who
+            for r in asof_join_backward(
+                left, right, "k", "ts", {"who": "label"}
+            ).collect()
+        }
+        for k, t, lid in lrows:
+            cands = [(rt_, lab) for rk_, rt_, lab in rrows
+                     if rk_ == k and rt_ <= t]
+            expect = max(cands)[1] if cands else None
+            assert got[lid] == expect, (trial, lid)
