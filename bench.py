@@ -49,6 +49,7 @@ EXTRA = [
     "streaming_window_counts",  # AvailableNow windowed streaming drain
     "radius_join",            # range join as tile-cover equi-join
     "events_asof_join",       # as-of join via union + window pass
+    "ngram_jaccard_pairs",    # word-trigram Jaccard via shared LSH plan
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

@@ -44,6 +44,21 @@ def char_shingles(text_col, k: int = 8):
     )
 
 
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (JVM-side): split on
+    whitespace runs, join each n-word window with single spaces.
+    Shorter-than-n texts yield their full word join (mirrors
+    char_shingles' short-text behavior)."""
+    words = F.split(text_col, r"\s+")
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
 def _seeded_hasher(seed: int):
     # NOTE: must be a real closure with arity 1 — a lambda with a
     # default arg (lambda s, i=seed: ...) is seen as arity 2 by the
@@ -149,10 +164,15 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     n_salt: int = 0,
+    shingles=None,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → minhash → LSH bands → bucket
     self-join → exact-Jaccard verify.  Returns (id_a, id_b,
     jaccard_e6) with id_a < id_b and jaccard >= threshold.
+
+    ``shingles`` overrides the feature set (default: k-char shingles);
+    pass e.g. ``word_ngrams(F.col("text"), 3)`` for word-n-gram
+    Jaccard — banding, salting, and verify are feature-agnostic.
 
     ``n_salt`` > 1 splinters hot buckets (boilerplate text at 10^12
     rows makes a single (band, hash) key enormous): the left side gets
@@ -160,9 +180,11 @@ def minhash_lsh_pairs(
     salt, and the join adds salt to the key — same pair set (asserted
     in tests), n_salt-way task split of the hottest bucket."""
     rows_per_band = n_hashes // bands
+    sh_col = shingles if shingles is not None else char_shingles(
+        F.col(text_col), k
+    )
     sig = docs.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), k).alias("sh"),
+        F.col(id_col).alias("id"), sh_col.alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     banded = sig.select(
         "id",

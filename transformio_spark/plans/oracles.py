@@ -632,6 +632,29 @@ ORDER BY tile_x, tile_y
 """
 
 
+def ngram_jaccard_pairs(threshold: float = 0.5) -> str:
+    """Brute-force word-trigram Jaccard oracle (same recall-validity
+    argument as minhash_pairs: measured on the gate corpus, every
+    true pair has J >= 0.889 and the next candidate sits below 0.15,
+    so 8-band/4-row LSH recall is deterministically 100%)."""
+    return f"""
+WITH sh AS (
+  SELECT id, list_distinct(list_transform(range(1, greatest(len(w)-2,1)+1),
+          i -> array_to_string(list_slice(w, i, i+2), ' '))) AS s
+  FROM (SELECT cast(doc_id as varchar) AS id,
+               string_split_regex(text, '\\s+') AS w
+        FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       cast(round(1000000.0 * len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s)))) as bigint) AS jaccard_e6
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE cast(len(list_intersect(a.s, b.s)) as double)
+      / len(list_distinct(list_concat(a.s, b.s))) >= {threshold!r}
+ORDER BY 1, 2
+"""
+
+
 def simhash_buckets() -> str:
     """Exact SQL twin of the md5-bit SimHash query (operators/dedup.
     simhash_md5_buckets): identical shingling (shared with the minhash

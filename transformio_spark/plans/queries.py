@@ -529,6 +529,25 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Word-n-gram Jaccard near-dup pairs (round 4): the same
+    minhash→band→bucket-join→verify plan with WORD TRIGRAMS as the
+    feature set (operators/dedup.word_ngrams) — the brief's n-gram
+    Jaccard dedup as a first-class gated operator.  Oracle =
+    brute-force exact word-trigram Jaccard; valid because the gate
+    corpus separates cleanly (every true pair has J >= 0.889, band
+    hit prob > 0.999; nothing else above 0.15) and recall is
+    exhaustively verified at both gate SFs."""
+    from ..operators import dedup
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, shingles=dedup.word_ngrams(F.col("text"), 3)
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_ivf(spark, sf_dir) -> DataFrame:
     """IVF-Flat ANN (inverted-file cells + n_probe, the second scale
     path beside sign-LSH): oracle replicates the EXACT algorithm
