@@ -123,3 +123,37 @@ def test_no_cartesian_or_row_python_in_any_query(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_radius_join_is_broadcast_hash(spark, sf_dir):
+    """The range join must be a broadcast HASH equi-join on the tile
+    key (cover explosion), never a nested-loop distance join."""
+    from transformio_spark.plans import queries as qq
+
+    plan = _plan(qq.q_radius_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of operator itself pays exactly ONE exchange (the window
+    partition on the join key) — no range join, no extra shuffles."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from transformio_spark.operators.temporal import asof_join_backward
+    from transformio_spark.streaming.stream import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    out = asof_join_backward(clicks, views, "user_id", "ts", {"v": "view_ts"})
+    plan = _plan(out)
+    n_ex = len(set(re.findall(r"\(\d+\) Exchange", plan)))
+    assert n_ex == 1, f"expected exactly 1 shuffle, plan had {n_ex}"
