@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(q.q_minhash_pairs),
         "neardup_components": _shipped(q.q_neardup_components),
         "ngram_jaccard_pairs": _shipped(q.q_ngram_jaccard_pairs),
+        "curation_funnel": _shipped(q.q_curation_funnel),
         "streaming_window_counts": _shipped(q.q_streaming_window_counts),
         "simhash_buckets": _shipped(q.q_simhash_buckets),
         "media_features": _shipped(q.q_media_features),
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": oracles.simhash_buckets(),
         "neardup_components": oracles.neardup_components(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs(),
+        "curation_funnel": oracles.curation_funnel(),
         "streaming_window_counts": oracles.streaming_window_counts(),
         "embedding_knn_l2": oracles.embedding_knn_l2(),
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),

@@ -382,6 +382,7 @@ def connected_components(
         if changed == 0:
             break
     else:
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

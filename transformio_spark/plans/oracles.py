@@ -459,6 +459,62 @@ ORDER BY c.event_id
 """
 
 
+def curation_funnel() -> str:
+    """SQL replay of the curation funnel: row_number exact dedup,
+    recursive-CTE near-dup closure over the survivors' brute-force
+    Jaccard pairs, quality floor, one aggregate row."""
+    from .queries import CURATION_QUALITY_MIN
+
+    q = quality_score_sql("text")
+    t = _dlit(CURATION_QUALITY_MIN)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT cast(doc_id as varchar) AS id, text FROM documents
+),
+r AS (
+  SELECT id, text,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY id) AS rn
+  FROM d
+),
+sh AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),
+                                      i -> substring(text, i, 8))) AS s
+  FROM r WHERE rn = 1
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE cast(len(list_intersect(a.s, b.s)) as double)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+reach AS (
+  SELECT u AS id, u AS lab FROM edges
+  UNION
+  SELECT e.u AS id, rc.lab FROM edges e JOIN reach rc ON rc.id = e.v
+),
+lab AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+nd AS (SELECT id FROM lab WHERE id != comp),
+staged AS (
+  SELECT r.rn, (nd.id IS NOT NULL) AS is_nd, {q} AS q
+  FROM r LEFT JOIN nd ON r.id = nd.id
+)
+SELECT cast(count(*) as bigint) AS n_docs,
+       cast(sum(case when rn > 1 then 1 else 0 end) as bigint) AS n_exact_dup,
+       cast(sum(case when rn = 1 and is_nd then 1 else 0 end) as bigint) AS n_near_dup,
+       cast(sum(case when rn = 1 and not is_nd and q < {t} then 1 else 0 end) as bigint) AS n_low_quality,
+       cast(sum(case when rn = 1 and not is_nd and q >= {t} then 1 else 0 end) as bigint) AS n_kept,
+       cast(round(avg(case when rn = 1 and not is_nd and q >= {t} then q end) * 100.0) as bigint) AS avg_q_kept_e2
+FROM staged
+"""
+
+
 def neardup_components() -> str:
     """Recursive-CTE twin of the clustering query: brute-force
     exact-Jaccard pairs (same recall-verified oracle basis as

@@ -655,6 +655,66 @@ def q_events_asof_join(spark, sf_dir) -> DataFrame:
     ).orderBy("event_id")
 
 
+CURATION_QUALITY_MIN = 4.6
+
+
+def q_curation_funnel(spark, sf_dir) -> DataFrame:
+    """End-to-end training-data CURATION FUNNEL (round 4) — the
+    composite a real LLM-data pipeline runs, as ONE aggregation row:
+    exact dedup (keep min doc_id per md5 fingerprint) → near-dup
+    clustering on the survivors (MinHash-LSH pairs → connected
+    components, keep each component's rep) → quality floor.  Every
+    doc is tagged with the stage that dropped it and the funnel
+    counts come from a single groupless aggregate (no scalar joins).
+    Oracle replays the funnel in SQL with a recursive-CTE closure."""
+    from ..functions import text as T
+    from ..operators import dedup
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    staged = (
+        docs.withColumn("fp", T.fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    survivors = staged.where(F.col("rn") == 1).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(survivors, threshold=0.5)
+    nd = (
+        dedup.connected_components(pairs)
+        .where(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias("doc_id"), F.lit(True).alias("is_nd"))
+    )
+    q = T.quality_score(F.col("text"))
+    full = (
+        staged.join(nd, "doc_id", "left")
+        .withColumn("is_nd", F.coalesce(F.col("is_nd"), F.lit(False)))
+        .withColumn("q", q)
+    )
+    keep = (
+        (F.col("rn") == 1)
+        & ~F.col("is_nd")
+        & (F.col("q") >= CURATION_QUALITY_MIN)
+    )
+    return full.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_exact_dup"),
+        F.sum(
+            F.when((F.col("rn") == 1) & F.col("is_nd"), 1).otherwise(0)
+        ).alias("n_near_dup"),
+        F.sum(
+            F.when(
+                (F.col("rn") == 1)
+                & ~F.col("is_nd")
+                & (F.col("q") < CURATION_QUALITY_MIN),
+                1,
+            ).otherwise(0)
+        ).alias("n_low_quality"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        _e(F.avg(F.when(keep, F.col("q"))), 2).alias("avg_q_kept_e2"),
+    )
+
+
 def q_neardup_components(spark, sf_dir) -> DataFrame:
     """Near-duplicate CLUSTERING (round 4): MinHash-LSH pairs →
     distributed connected components (min-label propagation,
