@@ -132,6 +132,71 @@ def test_asof_join_backward_semantics(spark):
     assert out["e4"] is None       # key with no right rows
 
 
+def test_asof_join_null_carry_value_still_matches(spark):
+    """A matched right row whose carried value is NULL must yield
+    NULL, not fall through to an older non-null row (ADVICE r4: the
+    carry struct tracks presence independent of value nullability,
+    matching DuckDB ASOF LEFT JOIN)."""
+    from transformio_spark.operators.temporal import (
+        asof_join_backward,
+        asof_join_backward_salted,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 30, "e2")], "user_id long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "old_nonnull"), (1, 90, None)],
+        "user_id long, ts long, label string",
+    )
+    for fn in (asof_join_backward, asof_join_backward_salted):
+        out = {
+            r.tag: r.who
+            for r in fn(left, right, "user_id", "ts", {"who": "label"}).collect()
+        }
+        assert out["e1"] is None, fn.__name__      # matched row carries NULL
+        assert out["e2"] == "old_nonnull", fn.__name__
+
+
+def test_asof_join_salted_equals_unsalted_hot_key(spark):
+    """Skew treatment: the ts-bucketed salted variant returns exactly
+    the unsalted result on a corpus where one key owns 80% of rows."""
+    import numpy as np
+
+    from transformio_spark.operators.temporal import (
+        asof_join_backward,
+        asof_join_backward_salted,
+    )
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 400, 300
+    lk = np.where(rng.random(n_l) < 0.8, 7, rng.integers(0, 5, n_l))
+    lt = rng.integers(0, 10_000, n_l)
+    rk = np.where(rng.random(n_r) < 0.8, 7, rng.integers(0, 5, n_r))
+    rt = rng.integers(0, 10_000, n_r)
+    seen, rrows = set(), []
+    for k, t in zip(rk, rt):
+        if (int(k), int(t)) not in seen:
+            seen.add((int(k), int(t)))
+            rrows.append((int(k), int(t), f"r{k}-{t}"))
+    lrows = [(int(k), int(t), i) for i, (k, t) in enumerate(zip(lk, lt))]
+    left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts long, label string")
+
+    base = {
+        r.lid: r.who
+        for r in asof_join_backward(left, right, "k", "ts", {"who": "label"}).collect()
+    }
+    for n_buckets in (1, 4, 16):
+        salted = {
+            r.lid: r.who
+            for r in asof_join_backward_salted(
+                left, right, "k", "ts", {"who": "label"}, n_buckets=n_buckets
+            ).collect()
+        }
+        assert salted == base, n_buckets
+
+
 def test_asof_join_random_matches_bruteforce(spark):
     """Property: on random keyed event sets, the union+window as-of
     equals per-row brute force (latest right ts <= left ts per key)."""

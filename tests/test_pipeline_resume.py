@@ -124,3 +124,112 @@ def test_catalog_time_travel_rollback_incremental(spark, tmp_path):
     assert vals(cat.read(spark, "t")) == list(range(5))
     snaps = cat.snapshots("t")
     assert len(snaps) == 3 and snaps[2]["mode"] == "rollback-to-0"
+
+
+def test_incremental_read_rejects_non_append_ranges(spark, tmp_path):
+    """ADVICE r4: a file-set diff across an overwrite snapshot would
+    report pre-existing rows as 'added' — the catalog must raise on
+    non-append ranges (Iceberg's own incremental scan does) and
+    bounds-check from_snapshot with ValueError, not IndexError."""
+    from transformio_spark.sources.catalog import ParquetSnapshotCatalog
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "tables"))
+    v = lambda a, b: spark.range(a, b).withColumnRenamed("id", "v")
+    cat.write(v(0, 5), "t", mode="overwrite")   # snap 0
+    cat.write(v(5, 8), "t", mode="append")      # snap 1
+    cat.write(v(0, 9), "t", mode="overwrite")   # snap 2 (rewrite)
+    cat.write(v(9, 11), "t", mode="append")     # snap 3
+
+    # append-only sub-ranges still work
+    vals = lambda df: sorted(r.v for r in df.collect())
+    assert vals(cat.read_incremental(spark, "t", 0, 1)) == [5, 6, 7]
+    assert vals(cat.read_incremental(spark, "t", 2, 3)) == [9, 10]
+
+    with pytest.raises(ValueError, match="non-append snapshots \\[2\\]"):
+        cat.read_incremental(spark, "t", 0)     # crosses the overwrite
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        cat.read_incremental(spark, "t", 99)
+    with pytest.raises(ValueError, match="invalid snapshot range"):
+        cat.read_incremental(spark, "t", 3, 1)
+
+
+def test_lineage_read_raises_on_legacy_json_and_migrates(spark, tmp_path):
+    """ADVICE r4: a lineage dir holding round-3 .json entries must
+    fail loudly (silently ignoring them re-runs and re-appends
+    completed units); migrate_legacy_json converts them in place."""
+    import json as _json
+
+    from transformio_spark.plans.pipeline import LineageLog
+
+    log = LineageLog(str(tmp_path))
+    legacy_row = dict(
+        run_id="old", stage="s", unit_key="u1", input_rows=10,
+        output_rows=5, metrics_json="{}", wall_ms=3, status="done",
+    )
+    with open(f"{log.dir}/old-s-u1.json", "w") as f:
+        _json.dump(legacy_row, f)
+    log.record(
+        run_id="new", stage="s", unit_key="u2", input_rows=1,
+        output_rows=1, metrics_json="{}", wall_ms=1, status="done",
+    )
+    with pytest.raises(RuntimeError, match="legacy .json"):
+        log.read(spark)
+
+    assert log.migrate_legacy_json() == 1
+    df = log.read(spark)
+    assert df.count() == 2
+    assert log.completed_units(spark, "old", "s") == {"u1"}
+
+
+def _catalog_conformance(spark, cat):
+    """Shared contract both catalog implementations must satisfy."""
+    v = lambda a, b: spark.range(a, b).withColumnRenamed("id", "v")
+    vals = lambda df: sorted(r.v for r in df.collect())
+    cat.write(v(0, 4), "ct", mode="overwrite")
+    cat.write(v(4, 6), "ct", mode="append")
+    assert cat.exists("ct")
+    assert vals(cat.read(spark, "ct")) == list(range(6))
+    assert vals(cat.read(spark, "ct", snapshot=0)) == list(range(4))
+    assert vals(cat.read_incremental(spark, "ct", 0, 1)) == [4, 5]
+    snaps = cat.snapshots("ct")
+    assert len(snaps) == 2
+    cat.rollback("ct", 0)
+    assert vals(cat.read(spark, "ct")) == list(range(4))
+
+
+def test_parquet_catalog_conformance(spark, tmp_path):
+    from transformio_spark.sources.catalog import ParquetSnapshotCatalog
+
+    _catalog_conformance(spark, ParquetSnapshotCatalog(str(tmp_path / "c")))
+
+
+def test_iceberg_catalog_conformance(spark, tmp_path):
+    """Runs the SAME contract against IcebergCatalog when an Iceberg
+    runtime is configured; skipped in this sandbox (no jar)."""
+    from transformio_spark.sources.catalog import IcebergCatalog
+
+    cat = IcebergCatalog(spark, catalog="spark_catalog")
+    try:
+        spark.sql("CREATE TABLE IF NOT EXISTS default.__iceberg_probe "
+                  "(v bigint) USING iceberg")
+        spark.sql("DROP TABLE default.__iceberg_probe")
+    except Exception:
+        pytest.skip("no Iceberg runtime jar in this environment")
+    _catalog_conformance(spark, cat)
+
+
+def test_iceberg_catalog_surface_matches_parquet_catalog():
+    """Even without the jar, the adapter must expose the exact
+    ParquetSnapshotCatalog call surface (pipeline code portability)."""
+    import inspect
+
+    from transformio_spark.sources.catalog import (
+        IcebergCatalog,
+        ParquetSnapshotCatalog,
+    )
+
+    for meth in ("exists", "write", "read", "snapshots", "rollback",
+                 "read_incremental"):
+        p_sig = inspect.signature(getattr(ParquetSnapshotCatalog, meth))
+        i_sig = inspect.signature(getattr(IcebergCatalog, meth))
+        assert list(p_sig.parameters) == list(i_sig.parameters), meth

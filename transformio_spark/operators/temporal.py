@@ -9,14 +9,60 @@ standard scale pattern: tag both sides, UNION, one window pass with a
 running ``last(..., ignorenulls=True)`` over (ts, side) ordering —
 a SINGLE shuffle on the join key, linear work within each partition's
 sorted run, no state beyond the window frame.  At 10^12 rows the
-shuffle on key is the same one any keyed join pays; skewed keys take
-the same salting/AQE treatment as the spatial joins.
+shuffle on key is the same one any keyed join pays; a hot key (one
+user_id owning a large share of all events) lands its whole sorted
+run on one task — ``asof_join_backward_salted`` splits that run into
+time-range buckets that parallelize, then stitches the bucket
+boundaries with a second (tiny) window pass.
+
+Match presence is tracked with a carry STRUCT, not the raw values: a
+matched right row whose carried value is NULL must still win over an
+older non-NULL row (DuckDB ``ASOF LEFT JOIN`` returns the matched
+row's NULL).  ``last(ignorenulls=True)`` of the struct skips only
+left-row placeholders — the struct on a right row is non-null even
+when every field inside it is NULL.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _carry_struct_type(right: DataFrame, carry: dict[str, str]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(out, right.schema[src].dataType) for out, src in carry.items()]
+    )
+
+
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    carry: dict[str, str],
+) -> tuple[DataFrame, list[str]]:
+    """Union left (side=1, NULL carry struct) with right (side=0,
+    non-null carry struct of the ``carry`` source columns)."""
+    struct_t = _carry_struct_type(right, carry)
+    left_cols = list(left.columns)
+    tagged_left = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(struct_t).alias("_carry"),
+    )
+    tagged_right = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (key_col, ts_col)],
+        F.lit(0).alias("_side"),
+        F.struct(
+            *[F.col(src).alias(out) for out, src in carry.items()]
+        ).cast(struct_t).alias("_carry"),
+    ).select(*left_cols, "_side", "_carry")
+    return tagged_left.unionByName(tagged_right), left_cols
 
 
 def asof_join_backward(
@@ -33,34 +79,102 @@ def asof_join_backward(
     ``ASOF LEFT JOIN ... ON l.ts >= r.ts``).
 
     ``carry`` maps output column name -> right column name.  Left
-    columns pass through unchanged."""
-    left_cols = [c for c in left.columns]
-    tagged_left = left.select(
-        *left_cols,
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_carry_{out}")
-          for out, src in carry.items()],
-    )
-    tagged_right = right.select(
-        F.col(key_col),
-        F.col(ts_col),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_cols if c not in (key_col, ts_col)],
-        F.lit(0).alias("_side"),
-        *[F.col(src).alias(f"_carry_{out}") for out, src in carry.items()],
-    ).select(*left_cols, "_side", *[f"_carry_{out}" for out in carry])
-    u = tagged_left.unionByName(tagged_right)
+    columns pass through unchanged.  A matched right row whose carry
+    value is NULL yields NULL (presence is tracked by the carry
+    struct, independent of field nullability)."""
+    u, left_cols = _tag_union(left, right, key_col, ts_col, carry)
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"_carry_{out}"), ignorenulls=True).over(w).alias(out)
-        for out in carry
-    ]
+    matched = F.last(F.col("_carry"), ignorenulls=True).over(w)
     return (
-        u.select(*left_cols, "_side", *carried)
+        u.select(*left_cols, "_side", *[matched[out].alias(out) for out in carry])
+        .where(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def asof_join_backward_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    carry: dict[str, str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """``asof_join_backward`` for SKEWED keys: the per-key sorted run
+    is split into ``n_buckets`` equal time ranges so a hot key's rows
+    spread across ``n_buckets`` tasks instead of one.
+
+    Three passes, none of which shuffles the big union more than the
+    unsalted version does:
+
+    1. window over (key, ts_bucket) — within-bucket running carry;
+    2. per-(key, bucket) last right-row carry (an aggregate with at
+       most |keys| x n_buckets rows), then a window over key ordered
+       by bucket gives the carry ENTERING each bucket;
+    3. broadcast the tiny entering-carry table back and coalesce.
+
+    Results are identical to the unsalted operator (asserted by
+    tests/test_bucketed_join.py)."""
+    bounds = (
+        left.select(F.col(ts_col).alias("_t"))
+        .unionByName(right.select(F.col(ts_col).alias("_t")))
+        .agg(
+            F.min("_t").cast("double").alias("lo"),
+            F.max("_t").cast("double").alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = max((hi - lo) / n_buckets, 1e-12)
+    bucket = F.least(
+        F.floor((F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+    u, left_cols = _tag_union(left, right, key_col, ts_col, carry)
+    u = u.withColumn("_bkt", bucket)
+
+    w_in = (
+        Window.partitionBy(key_col, "_bkt")
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = u.withColumn(
+        "_within", F.last(F.col("_carry"), ignorenulls=True).over(w_in)
+    )
+
+    # per-(key, bucket) last RIGHT carry — tiny aggregate, then the
+    # carry entering each bucket = last non-null over preceding buckets
+    # every (key, bucket) that holds ANY row must appear here — a left
+    # row in a bucket with no right rows still needs an entering carry
+    # from earlier buckets; max_by ignores the NULL ordering key on
+    # left rows, so right-row restriction happens inside the aggregate
+    bucket_last = u.groupBy(key_col, "_bkt").agg(
+        F.max_by(
+            "_carry", F.when(F.col("_side") == 0, F.col(ts_col))
+        ).alias("_blast")
+    )
+    w_enter = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    entering = bucket_last.select(
+        key_col,
+        "_bkt",
+        F.last(F.col("_blast"), ignorenulls=True).over(w_enter).alias("_enter"),
+    )
+
+    matched = F.coalesce(F.col("_within"), F.col("_enter"))
+    return (
+        within.join(F.broadcast(entering), on=[key_col, "_bkt"], how="left")
+        .select(
+            *left_cols, "_side", *[matched[out].alias(out) for out in carry]
+        )
         .where(F.col("_side") == 1)
         .drop("_side")
     )

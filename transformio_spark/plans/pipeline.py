@@ -81,12 +81,39 @@ class LineageLog:
         return {r.unit_key for r in rows}
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not any(f.endswith(".parquet") for f in os.listdir(self.dir)):
+        entries = os.listdir(self.dir)
+        # a pre-upgrade (round-3) log wrote one .json per unit; silently
+        # ignoring those would lose the resume index and re-run (and
+        # re-append!) completed units — fail loudly instead (ADVICE r4)
+        legacy = [f for f in entries if f.endswith(".json")]
+        if legacy:
+            raise RuntimeError(
+                f"lineage dir {self.dir} holds {len(legacy)} legacy .json "
+                "entries (pre-parquet format); migrate them with "
+                "LineageLog.migrate_legacy_json() before resuming"
+            )
+        if not any(f.endswith(".parquet") for f in entries):
             return None
         return (
             spark.read.schema(LINEAGE_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
             .parquet(self.dir)
         )
+
+    def migrate_legacy_json(self) -> int:
+        """Rewrite round-3 ``.json`` lineage entries as parquet rows
+        (idempotent: each migrated file replaces its source atomically).
+        Returns the number of entries migrated."""
+        n = 0
+        for f in sorted(os.listdir(self.dir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, f)) as fh:
+                row = json.load(fh)
+            self.record(**{c: row[c] for c in _LINEAGE_COLS})
+            os.remove(os.path.join(self.dir, f))
+            n += 1
+        return n
 
     def record(self, **row) -> None:
         import pyarrow as pa

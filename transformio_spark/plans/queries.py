@@ -792,8 +792,10 @@ def q_media_frames(spark, sf_dir) -> DataFrame:
 
 def q_embedding_ann_lsh(spark, sf_dir) -> DataFrame:
     """Scale-path ANN: multi-table sign-LSH bucket join + exact
-    re-rank.  Approximate by design → rows-only driver check; recall
-    vs brute force is asserted in tests."""
+    re-rank.  Fully oracled since round 2: the DuckDB twin replays the
+    EXACT algorithm with the same literal hyperplanes (oracles.py), so
+    the driver checks rows+schema+hash; recall vs brute force is
+    additionally asserted in tests."""
     from ..operators import similarity
 
     emb = similarity.with_unit_vec(
