@@ -119,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),
         "media_features": oracles.media_features(),
+        "media_frames": oracles.media_frames(),
         "minhash_pairs": oracles.minhash_pairs(),
         "simhash_buckets": oracles.simhash_buckets(),
         "neardup_components": oracles.neardup_components(),
@@ -144,12 +145,5 @@ def no_oracle_reason() -> dict[str, str]:
             "nested model-selection loop (fit 3 model classes x iterative "
             "outlier drop, reference accuracy.py:208-232) — iterative "
             "algorithm; README golden (poly-2/18pts/278.617602953) in pytest"
-        ),
-        "media_frames": (
-            "video frame-sampling over fabricated decode arrays — no video "
-            "container codec exists in this environment (the image/audio "
-            "kinds decode real TIFF/WAV containers and are fully oracled "
-            "via media_features); mapInPandas schema/batching and the "
-            "deterministic fake are pinned in pytest"
         ),
     }

@@ -402,7 +402,27 @@ def test_synth_media_builds_real_containers(spark, sf_dir):
             s = np.where(u >= 32768, u - 65536, u).astype(np.float32)
             np.testing.assert_array_equal(out, s / np.float32(32768.0))
         else:
-            assert not tiff.is_tiff(payload) and not wav.is_wav(payload)
+            from transformio_spark.kernels import avi
+            from transformio_spark.operators.multimodal import (
+                MEDIA_VID_FRAME_BYTES, MEDIA_VID_H, MEDIA_VID_W,
+                VID_FSTEP, VID_MULT, VID_STEP,
+            )
+
+            assert avi.is_avi(payload)
+            arr = avi.decode_avi(payload)
+            n_frames = r.doc_num % 6 + 2
+            assert arr.shape == (n_frames, MEDIA_VID_H, MEDIA_VID_W, 3)
+            assert r.meta.n_frames == n_frames
+            # reconstruct from the synth formula: DIB byte m of frame
+            # f is (doc_num*29 + f*53 + m*11) % 256, rows bottom-up,
+            # channels BGR -> decoder flips to top-down RGB
+            for f in range(n_frames):
+                dib = np.array(
+                    [(r.doc_num * VID_MULT + f * VID_FSTEP + m * VID_STEP) % 256
+                     for m in range(MEDIA_VID_FRAME_BYTES)], dtype=np.uint8,
+                ).reshape(MEDIA_VID_H, MEDIA_VID_W, 3)
+                expect = dib[::-1, :, ::-1]
+                np.testing.assert_array_equal(arr[f], expect)
         checked[r.kind] += 1
     assert all(v > 0 for v in checked.values())
 

@@ -33,10 +33,11 @@ FEATURE_SCHEMA = (
 
 # Deterministic media-container geometry (shared with the DuckDB
 # oracle, plans/oracles.media_features): image = 8x8 RGB uncompressed
-# little-endian TIFF, audio = 64-sample 16-bit mono PCM WAV.  Pixel /
+# little-endian TIFF, audio = 64-sample 16-bit mono PCM WAV, video =
+# uncompressed 24-bit DIB AVI (round 5: 8x6 RGB, 2..7 frames).  Pixel /
 # sample values are integer arithmetic on doc_num, so an oracle can
 # recompute the decoded values without parsing bytes while Spark runs
-# the true container-decode path (kernels/{tiff,wav}.py).
+# the true container-decode path (kernels/{tiff,wav,avi}.py).
 MEDIA_IMG_W = 8
 MEDIA_IMG_H = 8
 MEDIA_IMG_BYTES = MEDIA_IMG_W * MEDIA_IMG_H * 3
@@ -45,6 +46,12 @@ MEDIA_AUDIO_N = 64
 # sample m (0..63): u=(doc_num*13 + 97*m) % 65536; int16 reinterpret
 IMG_PX_MULT, IMG_PX_STEP = 31, 7
 AUD_MULT, AUD_STEP = 13, 97
+# video frame f (0..n_frames-1), DIB byte m (0..143, bottom-up BGR):
+#   (doc_num*29 + f*53 + m*11) % 256;  n_frames = doc_num % 6 + 2
+MEDIA_VID_W = 8
+MEDIA_VID_H = 6
+MEDIA_VID_FRAME_BYTES = MEDIA_VID_W * MEDIA_VID_H * 3  # stride 24, 4-aligned
+VID_MULT, VID_FSTEP, VID_STEP = 29, 53, 11
 
 
 def _tiff_wrapper_hex() -> tuple[str, str]:
@@ -83,8 +90,62 @@ def _wav_header_hex() -> str:
     return hdr.hex()
 
 
+def _avi_wrapper_hex() -> dict[str, str]:
+    """Static hex fragments of a minimal uncompressed-DIB AVI (8x6
+    RGB24, 10 fps, one 'vids' stream, public AVI RIFF layout:
+    hdrl(avih + strl(strh + strf)) then movi with '00db' DIB chunks).
+    The n_frames-dependent fields (RIFF size, avih dwTotalFrames,
+    strh dwLength, movi LIST size) are spliced in Column-side by
+    synth_media between these fragments."""
+    import struct
+
+    w, h = MEDIA_VID_W, MEDIA_VID_H
+    fb = MEDIA_VID_FRAME_BYTES
+    chunk = fb + 8  # '00db' + LE size + payload
+    a = (  # after the dynamic RIFF size, up to avih dwTotalFrames
+        b"AVI "
+        + b"LIST" + struct.pack("<I", 192) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56)
+        + struct.pack("<IIII", 100000, 0, 0, 0)  # usec/frame, maxbps, pad, flags
+    )
+    b_ = (  # between avih dwTotalFrames and strh dwLength
+        struct.pack("<IIIII", 0, 1, chunk, w, h)  # init, streams, sugbuf, w, h
+        + struct.pack("<IIII", 0, 0, 0, 0)        # dwReserved[4]
+        + b"LIST" + struct.pack("<I", 116) + b"strl"
+        + b"strh" + struct.pack("<I", 56)
+        + b"vids" + b"DIB "
+        + struct.pack("<IIIIII", 0, 0, 0, 1, 10, 0)  # flags, prio|lang, init, scale, rate, start
+    )
+    c = (  # between strh dwLength and the movi LIST size
+        struct.pack("<III", chunk, 0, 0)   # sugbuf, quality, samplesize
+        + struct.pack("<hhhh", 0, 0, w, h)  # rcFrame
+        + b"strf" + struct.pack("<I", 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0)
+        + b"LIST"
+    )
+    return {
+        "pre": b"RIFF".hex(),
+        "a": a.hex(),
+        "b": b_.hex(),
+        "c": c.hex(),
+        "movi": b"movi".hex(),
+        "frame_hdr": (b"00db" + struct.pack("<I", fb)).hex(),
+    }
+
+
 def _hex_byte(v):
     return F.lpad(F.hex(v), 2, "0")
+
+
+def _le32_hex(v):
+    """Hex of a little-endian uint32 built from a numeric Column."""
+    v = v.cast("long")
+    return F.concat(
+        _hex_byte(F.pmod(v, F.lit(256))),
+        _hex_byte(F.pmod(F.floor(v / 256).cast("long"), F.lit(256))),
+        _hex_byte(F.pmod(F.floor(v / 65536).cast("long"), F.lit(256))),
+        _hex_byte(F.pmod(F.floor(v / 16777216).cast("long"), F.lit(256))),
+    )
 
 
 def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) -> DataFrame:
@@ -94,8 +155,9 @@ def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) 
     Column-side as hex-string concat + unhex, with pixel/sample values
     from integer arithmetic on doc_num — so the true codec path runs
     on every row and a SQL oracle can recompute the decoded values.
-    Video payloads stay opaque md5-repeat bytes (no video container
-    codec in this environment)."""
+    Video payloads are REAL AVI containers too (round 5): 8x6 RGB24
+    uncompressed-DIB frames, 2..7 per doc, decoded by the true RIFF
+    walker (kernels/avi.py; MJPEG streams use kernels/jpeg.py)."""
     px_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(MEDIA_IMG_BYTES - 1)),
@@ -119,6 +181,44 @@ def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) 
     )
     wav_payload = F.unhex(F.concat(F.lit(_wav_header_hex()), wav_hex))
 
+    avi = _avi_wrapper_hex()
+    nf = (F.col("doc_num") % 6 + 2).cast("long")
+    chunk = MEDIA_VID_FRAME_BYTES + 8
+    frame_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nf - 1),
+            lambda f: F.concat(
+                F.lit(avi["frame_hdr"]),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(MEDIA_VID_FRAME_BYTES - 1)),
+                        lambda m: _hex_byte(
+                            F.pmod(
+                                F.col("doc_num") * VID_MULT
+                                + f * VID_FSTEP
+                                + m * VID_STEP,
+                                F.lit(256),
+                            )
+                        ),
+                    ),
+                    "",
+                ),
+            ),
+        ),
+        "",
+    )
+    avi_payload = F.unhex(
+        F.concat(
+            F.lit(avi["pre"]), _le32_hex(nf * chunk + 216),
+            F.lit(avi["a"]), _le32_hex(nf),
+            F.lit(avi["b"]), _le32_hex(nf),
+            F.lit(avi["c"]), _le32_hex(nf * chunk + 4),
+            F.lit(avi["movi"]), frame_hex,
+        )
+    )
+
+    is_video = F.col("doc_num") % 3 == 2
+
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_num") % 3 == 0, "image")
@@ -127,16 +227,21 @@ def synth_media(spark: SparkSession, docs: DataFrame, payload_bytes: int = 256) 
         .alias("kind"),
         F.when(F.col("doc_num") % 3 == 0, img_payload)
         .when(F.col("doc_num") % 3 == 1, wav_payload)
-        .otherwise(
-            F.repeat(F.unhex(F.md5(F.col("doc_id"))), payload_bytes // 16).cast(
-                "binary"
-            )
-        )
+        .otherwise(avi_payload)
         .alias("payload"),
         F.struct(
-            (F.col("doc_num") % 640 + 64).cast("int").alias("width"),
-            (F.col("doc_num") % 480 + 48).cast("int").alias("height"),
-            (F.col("doc_num") % 30 + 1).cast("int").alias("n_frames"),
+            F.when(is_video, F.lit(MEDIA_VID_W))
+            .otherwise(F.col("doc_num") % 640 + 64)
+            .cast("int")
+            .alias("width"),
+            F.when(is_video, F.lit(MEDIA_VID_H))
+            .otherwise(F.col("doc_num") % 480 + 48)
+            .cast("int")
+            .alias("height"),
+            F.when(is_video, nf)
+            .otherwise(F.col("doc_num") % 30 + 1)
+            .cast("int")
+            .alias("n_frames"),
             F.lit(16000).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
@@ -147,12 +252,13 @@ def _decode_stub(kind: str, payload: bytes, meta) -> np.ndarray:
     magic decode through this package's pure-stdlib codecs
     (kernels/{png,jpeg,tiff}.py — round 3; the reference decodes via
     PIL, imwarp.py:92-96); AUDIO payloads with a RIFF/WAVE magic
-    decode through kernels/wav.py (round 4).  Video codecs (and
-    unknown image/audio bytes) remain STUBBED — no av libs in this
-    container — with a DETERMINISTIC fake decode (seeded by payload
-    digest) of the right logical shape so downstream operators see
-    realistic data.  Raises for unknown kinds exactly like a codec
-    would."""
+    decode through kernels/wav.py (round 4); VIDEO payloads with a
+    RIFF/AVI magic decode through kernels/avi.py (round 5:
+    uncompressed-DIB and MJPEG streams, the latter via the baseline
+    JPEG decoder).  Unknown bytes of a known kind fall back to a
+    DETERMINISTIC fake decode (seeded by payload digest) of the
+    meta-declared logical shape — the garbage-bytes channel, pinned
+    by tests.  Raises for unknown kinds exactly like a codec would."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
     if kind == "image":
@@ -169,6 +275,11 @@ def _decode_stub(kind: str, payload: bytes, meta) -> np.ndarray:
 
         if wav.is_wav(payload):
             return wav.decode_wav(payload)
+    if kind == "video":
+        from ..kernels import avi
+
+        if avi.is_avi(payload):
+            return avi.decode_avi(payload)
     digest = hashlib.md5(payload).digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)
@@ -226,7 +337,8 @@ RESIZED_SCHEMA = (
 )
 
 FRAMES_SCHEMA = (
-    "media_id string, frame_idx int, frame_md5 string"
+    "media_id string, frame_idx int, frame_md5 string, "
+    "px_sum long, pos_dot long"
 )
 
 
@@ -267,13 +379,19 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
 
 
 def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
-    """Frame sampling for video media: decode (stub) → every k-th
-    frame emitted as one row (media_id, frame_idx, frame_md5).
+    """Frame sampling for video media: true AVI decode (kernels/avi.py;
+    garbage bytes fall to the deterministic fake like the other kinds)
+    → every k-th frame emitted as one row with its md5 plus two
+    arithmetic fingerprints of the decoded top-down RGB bytes —
+    ``px_sum`` (Σ byte) and ``pos_dot`` (Σ position·byte, which pins
+    the de-interleave: any row-flip or channel-swap error changes it)
+    — so a SQL oracle can verify the decode without a blob hash.
     Non-video rows produce no output rows (filter semantics)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_md5": []}
+            out = {"media_id": [], "frame_idx": [], "frame_md5": [],
+                   "px_sum": [], "pos_dot": []}
             cols = (pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
                     pdf["payload"].to_numpy(), pdf["meta"].to_numpy())
             for media_id, kind, payload, meta in zip(*cols):
@@ -281,10 +399,15 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
                     continue
                 arr = _decode_stub(kind, bytes(payload), meta)
                 for idx in range(0, arr.shape[0], every_k):
+                    flat = arr[idx].ravel().astype(np.int64)
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(idx)
                     out["frame_md5"].append(
                         hashlib.md5(arr[idx].tobytes()).hexdigest()
+                    )
+                    out["px_sum"].append(int(flat.sum()))
+                    out["pos_dot"].append(
+                        int((np.arange(flat.size, dtype=np.int64) * flat).sum())
                     )
             yield pd.DataFrame(out)
 

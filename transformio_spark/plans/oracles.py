@@ -609,6 +609,57 @@ FROM f GROUP BY kind ORDER BY kind
 """
 
 
+def media_frames() -> str:
+    """Arithmetic twin of the video frame-sampling query: the Spark
+    side builds real uncompressed-DIB AVI containers (8x6 RGB24,
+    n_frames = doc_num%6+2) from the formula byte(m, f) =
+    (doc_num*29 + f*53 + m*11) % 256 over bottom-up BGR DIB positions
+    m, and decodes them with the true RIFF walker (kernels/avi.py)
+    into top-down RGB.  This oracle recomputes both fingerprints
+    relationally: px_sum is reorder-invariant; pos_dot weights each
+    byte by its DECODED position p(m) = ((5 - m//24)*8 + (m%24)//3)*3
+    + (2 - m%3), which pins the row flip and the BGR->RGB swap."""
+    from ..operators.multimodal import (
+        MEDIA_VID_FRAME_BYTES,
+        MEDIA_VID_H,
+        MEDIA_VID_W,
+        VID_FSTEP,
+        VID_MULT,
+        VID_STEP,
+    )
+    from ..sources.synth import DOC_NUM_SQL
+
+    row_bytes = MEDIA_VID_W * 3
+    top = MEDIA_VID_H - 1
+    byte = f"((doc_num*{VID_MULT} + f.f*{VID_FSTEP} + m.m*{VID_STEP}) % 256)"
+    pos = (
+        f"((({top} - m.m // {row_bytes}) * {MEDIA_VID_W}"
+        f" + (m.m % {row_bytes}) // 3) * 3 + (2 - m.m % 3))"
+    )
+    return f"""
+WITH ids AS (
+  -- rid keeps duplicate doc_nums (repeated source rows) as separate
+  -- output rows, matching the Spark side's per-row emission
+  SELECT {DOC_NUM_SQL} AS doc_num, row_number() OVER () AS rid
+  FROM lineitem
+),
+sel AS (
+  SELECT doc_num, rid, doc_num % 6 + 2 AS n_frames FROM ids
+  WHERE doc_num % 97 = 0 AND doc_num % 3 = 2
+)
+SELECT concat('doc-', lpad(cast(sel.doc_num as varchar), 12, '0')) AS media_id,
+       cast(f.f as int) AS frame_idx,
+       cast(sum({byte}) as bigint) AS px_sum,
+       cast(sum({pos} * {byte}) as bigint) AS pos_dot
+FROM sel,
+     range(0, 8) AS f(f),
+     range(0, {MEDIA_VID_FRAME_BYTES}) AS m(m)
+WHERE f.f % 4 = 0 AND f.f < sel.n_frames
+GROUP BY sel.doc_num, sel.rid, f.f
+ORDER BY 1, 2
+"""
+
+
 def warp_affine_checksums() -> str:
     """Relational twin of the distributed affine warp gate
     (plans/queries.q_warp_affine_checksums): regenerates the source

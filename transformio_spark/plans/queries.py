@@ -773,20 +773,26 @@ def q_media_features(spark, sf_dir) -> DataFrame:
 
 
 def q_media_frames(spark, sf_dir) -> DataFrame:
-    """Video frame-sampling plumbing (every-4th-frame md5 per media
-    row).  Video decode is the one remaining DETERMINISTIC FAKE (no
-    video container codec in this environment, honestly labeled in
-    operators/multimodal._decode_stub) → rows-only driver check; the
-    mapInPandas schema/batching and filter semantics are the real
-    design and are pinned in pytest."""
+    """Video frame sampling with a FULL oracle (round 5): video
+    payloads are real uncompressed-DIB AVI containers built
+    Column-side from integer arithmetic on doc_num
+    (operators/multimodal.synth_media), decoded by the TRUE RIFF/AVI
+    walker (kernels/avi.py) inside mapInPandas; every 4th frame emits
+    arithmetic fingerprints of the decoded top-down RGB bytes.  The
+    DuckDB twin recomputes px_sum and the position-weighted pos_dot
+    directly from the synth formula plus the documented bottom-up-BGR
+    → top-down-RGB byte mapping — agreement validates container
+    build + chunk walk + de-interleave end-to-end."""
     from ..operators import multimodal
 
     docs = synth.docs_spans(spark, sf_dir).where(
         (F.col("doc_num") % 97 == 0) & (F.col("doc_num") % 3 == 2)
     )
     media = multimodal.synth_media(spark, docs)
-    return multimodal.sample_frames(media, every_k=4).orderBy(
-        "media_id", "frame_idx"
+    return (
+        multimodal.sample_frames(media, every_k=4)
+        .select("media_id", "frame_idx", "px_sum", "pos_dot")
+        .orderBy("media_id", "frame_idx")
     )
 
 
