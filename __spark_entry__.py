@@ -118,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),
+        "auto_choose_model": oracles.auto_choose_model(),
         "media_features": oracles.media_features(),
         "media_frames": oracles.media_frames(),
         "minhash_pairs": oracles.minhash_pairs(),
@@ -139,11 +140,10 @@ def oracle_sql() -> dict[str, str]:
 def no_oracle_reason() -> dict[str, str]:
     """Per-query justification for every ``queries()`` entry that has
     no ``oracle_sql()`` twin — each is genuinely non-SQL-expressible
-    (the driver records a rows-only check for these)."""
-    return {
-        "auto_choose_model": (
-            "nested model-selection loop (fit 3 model classes x iterative "
-            "outlier drop, reference accuracy.py:208-232) — iterative "
-            "algorithm; README golden (poly-2/18pts/278.617602953) in pytest"
-        ),
-    }
+    (the driver records a rows-only check for these).  Empty since
+    round 5: media_frames gained a real AVI decode + arithmetic
+    oracle, and auto_choose_model a literal-errs + SQL-argmin oracle
+    (its refinement loops run at oracle-build time; only the
+    relational selection is SQL — see plans/oracles.auto_choose_model
+    for the circularity analysis)."""
+    return {}

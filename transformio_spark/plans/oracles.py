@@ -609,6 +609,58 @@ FROM f GROUP BY kind ORDER BY kind
 """
 
 
+def auto_choose_model() -> str:
+    """Literal-errs + SQL-argmin twin of q_auto_choose_model (round 5,
+    per the round-4 review): the per-candidate refinement loops
+    (auto_drop_models with leave-one-out) are re-run HERE, driver-side
+    at oracle-build time, and embedded as literal rows; the SQL then
+    performs only the SELECTION — stable min-by-err with the
+    candidate-order tie-break (reference accuracy.py:226-228).
+
+    What this verifies non-circularly: (a) the distributed
+    groupBy(candidate).applyInPandas evaluation produces exactly the
+    same (n_points, err) per candidate as the single-process kernel —
+    any partitioning, ordering, or serialization bug in the Spark path
+    diverges; (b) the relational argmin/tie-break/limit matches plain
+    SQL.  The fit VALUES themselves are anchored separately by pytest
+    goldens against the reference (auto_drop 19pts/333.882194848,
+    README auto-choose poly-2/18/278.617602953)."""
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from ..kernels import TIN, Polynomial
+    from ..kernels.accuracy import auto_drop_models
+
+    candidates = [
+        ("poly1", lambda: Polynomial(order=1)),
+        ("poly2", lambda: Polynomial(order=2)),
+        ("poly3", lambda: Polynomial(order=3)),
+        ("tin", TIN),
+    ]
+    inpts = [(float(x), float(y)) for x, y in CHINA22_IMPOINTS]
+    outpts = [(float(x), float(y)) for x, y in CHINA22_GEOPOINTS]
+    rows = []
+    for name, make in candidates:
+        try:
+            _t, kept_in, _ko, _p, _r, err = auto_drop_models(
+                make(), list(inpts), list(outpts), leave_one_out=True,
+                distance="geodesic", metric="rmse",
+            )
+        except Exception:
+            continue
+        rows.append(f"('{name}', {len(kept_in)}, {round(err * 1e6)})")
+    values = ", ".join(rows)
+    return f"""
+WITH errs(candidate, n_points, err_e6) AS (VALUES {values})
+SELECT candidate,
+       cast(n_points as int) AS n_points,
+       cast(err_e6 as bigint) AS err_e6
+FROM errs
+ORDER BY err_e6 ASC,
+         CASE candidate WHEN 'poly1' THEN 0 WHEN 'poly2' THEN 1
+                        WHEN 'poly3' THEN 2 ELSE 3 END ASC
+LIMIT 1
+"""
+
+
 def media_frames() -> str:
     """Arithmetic twin of the video frame-sampling query: the Spark
     side builds real uncompressed-DIB AVI containers (8x6 RGB24,

@@ -1066,8 +1066,10 @@ def q_auto_choose_model(spark, sf_dir) -> DataFrame:
     the full auto_drop_models(leave_one_out=True) refinement; the
     final stable-sorted selection happens relationally.  Must
     reproduce the README golden: Polynomial order 2, 18 points, RMSE
-    278.617602953 (README.md:423-437).  Rows-only (re-fitting loops
-    are not SQL)."""
+    278.617602953 (README.md:423-437).  Fully oracled since round 5:
+    the DuckDB twin embeds the per-candidate refinement results as
+    literal rows and replays the stable argmin selection in SQL
+    (oracles.auto_choose_model)."""
     import pandas as _pd
 
     from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
