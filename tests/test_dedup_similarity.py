@@ -485,8 +485,48 @@ def test_connected_components_chain_merge(spark):
     assert comps["d"] == comps["e"] == "d"
     assert comps["w"] == comps["x"] == comps["y"] == comps["z"] == "w"
     with pytest.raises(RuntimeError, match="converge"):
-        # a 5-hop path cannot converge in 1 round
+        # a 5-hop path cannot converge in 1 round; label-prop-only
+        # keeps the old hard abort
         chain = spark.createDataFrame(
             [(str(i), str(i + 1)) for i in range(6)], "id_a string, id_b string"
         )
-        dedup.connected_components(chain, max_iter=1)
+        dedup.connected_components(chain, max_iter=1, algorithm="label-prop")
+
+
+def test_connected_components_star_equals_label_prop(spark):
+    """Property check: alternating large-star/small-star (Kiveris et
+    al.) labels random graphs identically to min-label propagation."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+        lp = {r.id: r.comp for r in dedup.connected_components(
+            pairs, max_iter=30, algorithm="label-prop").collect()}
+        st = {r.id: r.comp for r in dedup.connected_components(
+            pairs, algorithm="star").collect()}
+        assert lp == st, f"trial {trial}: {lp} != {st}"
+
+
+def test_connected_components_deep_chain_auto_fallback(spark):
+    """A 40-node path (diameter 39 > max_iter 12) — the case the old
+    code refused with a hard raise.  algorithm='auto' now switches to
+    large-star/small-star and labels the whole chain with its min."""
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(39)],
+        "id_a string, id_b string",
+    )
+    comps = {r.id: r.comp for r in
+             dedup.connected_components(chain, max_iter=12).collect()}
+    assert len(comps) == 40
+    assert set(comps.values()) == {"n000"}
+    # and 'star' directly agrees
+    direct = {r.id: r.comp for r in dedup.connected_components(
+        chain, algorithm="star").collect()}
+    assert direct == comps

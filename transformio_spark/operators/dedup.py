@@ -312,11 +312,73 @@ def simhash_md5_buckets(
     )
 
 
+def _star_components(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014 — public) over a symmetric deduped edge set (u, v), u != v.
+
+    Each round: large-star connects every neighbor LARGER than u to
+    the minimum of u's closed neighborhood; small-star (on the
+    resulting child>parent canonical edges) re-points every smaller
+    neighbor and u itself at the group minimum.  Converges in
+    O(log^2 n) rounds regardless of graph diameter — the
+    deep-chain-safe path that min-label propagation (diameter-bounded)
+    falls back to.  Returns (id, comp) with comp = component min."""
+    # localCheckpoint truncates the lineage each round — an iterative
+    # self-join otherwise grows the logical plan geometrically until
+    # ANALYSIS (not data) blows the driver heap.  On a multi-executor
+    # cluster swap for checkpoint() on a durable dir (executor loss
+    # invalidates local checkpoints); the lineage/metrics log
+    # (plans/pipeline.py) already records per-round progress.
+    prev = sym.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        both = prev.union(prev.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m = min(N(u) ∪ {u}); edge (v, m) for every v > u
+        lmins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            both.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: group children by u; m = min of parents; re-point
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        cur = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            cur.subtract(prev).count() + prev.subtract(cur).count()
+        )
+        prev = cur
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_rounds} rounds"
+        )
+    roots = prev.select(F.col("v").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    members = prev.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return roots.union(members)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 12,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     dedup ENDGAME: pair lists must become disjoint keep-one groups
@@ -329,28 +391,45 @@ def connected_components(
     Rounds needed = graph diameter — near-dup graphs are
     diameter-bounded in practice (clusters are boilerplate families,
     a few hops wide), so this is 3-5 shuffle rounds at any corpus
-    size; for adversarially deep graphs the published alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") drops it to O(log^2 n)
-    rounds with the same join/groupBy primitives.  ``max_iter`` is a
-    hard stop (raises — an UNCONVERGED component labeling silently
-    under-merges groups, which a dedup pipeline must never do).
+    size.
+
+    ``algorithm``:
+      * ``"auto"`` (default) — label propagation; if it has not
+        converged after ``max_iter`` rounds (adversarially deep
+        graph), SWITCH to the O(log^2 n) alternating
+        large-star/small-star algorithm (round 5; _star_components)
+        instead of aborting.
+      * ``"label-prop"`` — propagation only; raises on
+        non-convergence (an UNCONVERGED labeling silently
+        under-merges groups, which a dedup pipeline must never do).
+      * ``"star"`` — large-star/small-star directly.
 
     Returns (id, comp) for every node appearing in ``pairs``; comp is
     the component's minimum id."""
+    if algorithm not in ("auto", "label-prop", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).where(F.col("u") != F.col("v"))
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
+    if algorithm == "star":
+        return _star_components(sym)
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
     )
     sym = sym.cache()
+    # localCheckpoint per round, NOT cache: ``labels`` appears twice
+    # in each round's plan, so without lineage truncation the
+    # analyzed tree doubles every round and Catalyst analysis (not
+    # the data) exhausts the driver heap after ~7 rounds.  cache()
+    # only swaps in InMemoryRelation at physical planning; the
+    # logical tree still carries the full history.  Same note as
+    # _star_components re: cluster-mode checkpoint().
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        labels = labels.cache()
         nbr_min = (
             sym.join(
                 labels.select(
@@ -370,18 +449,21 @@ def connected_components(
                     F.coalesce(nbr_min["nbr_comp"], labels["comp"]),
                 ).alias("comp"),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
+        if algorithm == "auto":
+            out = _star_components(sym)
+            sym.unpersist()
+            return out
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
