@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mollweide_cells": _shipped(q.q_mollweide_cells),
         "polar_cells": _shipped(q.q_polar_cells),
         "robinson_cells": _shipped(q.q_robinson_cells),
+        "utm_cells": _shipped(q.q_utm_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "mollweide_cells": oracles.mollweide_cells(),
         "polar_cells": oracles.polar_cells(),
         "robinson_cells": oracles.robinson_cells(),
+        "utm_cells": oracles.utm_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "warp_affine_checksums": oracles.warp_affine_checksums(),
         "loo_residuals": oracles.loo_residuals(),

@@ -51,6 +51,8 @@ EXTRA = [
     "events_asof_join",       # as-of join via union + window pass
     "ngram_jaccard_pairs",    # word-trigram Jaccard via shared LSH plan
     "curation_funnel",        # dedup->components->quality composite
+    # round-5 additions
+    "utm_cells",              # per-zone Krüger-series UTM, F.expr codegen
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

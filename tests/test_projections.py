@@ -177,8 +177,12 @@ def test_unknown_pair_still_raises_without_pyproj():
         pytest.skip("pyproj present")
     except ImportError:
         pass
+    # UTM 33N gained an analytic backend in round 5 — the canonical
+    # "unsupported" example is now a Lambert conformal conic code
+    x, _ = kt.MapProjection(LONGLAT, "epsg:32633").predict([15.0], [0.0])
+    assert x[0] == 500000.0
     with pytest.raises(ImportError, match="pyproj"):
-        kt.MapProjection(LONGLAT, "epsg:32633")  # UTM 33N — no backend
+        kt.MapProjection(LONGLAT, "EPSG:2154")  # RGF93 / Lambert-93
 
 
 def test_norway_polar_stereographic_epsg5939():
@@ -565,4 +569,168 @@ def test_robinson_chain_compiles_to_pure_codegen(spark):
     model = kt.Chain([kt.MapProjection("EPSG:4326", "ESRI:54030")])
     out = compiler.with_transformed_columns(df, model, x="lon", y="lat")
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (round 5)
+# ---------------------------------------------------------------------------
+
+def test_utm_anchors():
+    # zone origin is exact by construction
+    E, N = pj.utm_forward(3.0, 0.0, 31)
+    assert E == 500000.0 and N == 0.0
+    # rectifying arc to the pole: k0 * WGS84 quarter meridian
+    # (10 001 965.7293 m, published) — n^4 truncation is ~1e-5 m
+    _, Np = pj.utm_forward(3.0, 90.0, 31)
+    assert Np == pytest.approx(0.9996 * 10001965.7293, abs=1e-3)
+    # CN Tower (Wikipedia UTM worked example): 43.642567 N
+    # 79.387139 W -> zone 17N 630084 E 4833438 N (meter precision)
+    E, N = pj.utm_forward(-79.387139, 43.642567, 17)
+    assert E == pytest.approx(630084.0, abs=1.0)
+    assert N == pytest.approx(4833439.0, abs=1.0)
+    # south zone adds the 10^7 false northing: same point mirrored
+    # across the equator, northing complements
+    En, Nn = pj.utm_forward(3.5, 40.0, 31)
+    Es, Ns = pj.utm_forward(3.5, -40.0, 31, south=True)
+    assert Es == pytest.approx(En, abs=1e-6)
+    assert Ns == pytest.approx(1e7 - Nn, abs=1e-6)
+    # scale on the central meridian is k0 (derivative check, 1 m apart)
+    _, n1 = pj.utm_forward(3.0, 45.0, 31)
+    _, n2 = pj.utm_forward(3.0, 45.0 + 1e-5, 31)
+    dphi_m = 1e-5 * math.pi / 180.0 * 6367449.1458234154  # ~M(45)
+    assert (n2 - n1) / dphi_m == pytest.approx(0.9996, rel=1e-3)
+
+
+def test_utm_roundtrip_submm():
+    # whole zone 31 band incl. overlap (+-8 deg off the CM), lat to
+    # the UTM limits and past them
+    lon = np.linspace(-5.0, 11.0, 33)
+    lat = np.linspace(-83.9, 83.9, 41)
+    LO, LA = np.meshgrid(lon, lat)
+    E, N = pj.utm_forward(LO.ravel(), LA.ravel(), 31)
+    lo, la = pj.utm_inverse(E, N, 31)
+    err_mm = 1000.0 * np.hypot(
+        (lo - LO.ravel()) * 111320.0 * np.cos(np.radians(LA.ravel())),
+        (la - LA.ravel()) * 110574.0,
+    )
+    assert err_mm.max() < 1e-3  # sub-micrometer in practice
+
+
+def test_tmerc_lat0_origin_and_params():
+    b = pj.resolve_proj4_pair(
+        LONGLAT,
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=GRS80 +units=m +no_defs",
+    )
+    E, N = b.transform(np.array([-2.0]), np.array([49.0]))
+    assert E[0] == pytest.approx(400000.0, abs=1e-9)
+    assert N[0] == pytest.approx(-100000.0, abs=1e-9)
+    # inverse direction resolves too and round-trips
+    binv = pj.resolve_proj4_pair(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=GRS80 +units=m +no_defs",
+        LONGLAT,
+    )
+    lo, la = binv.transform(E, N)
+    assert lo[0] == pytest.approx(-2.0, abs=1e-12)
+    assert la[0] == pytest.approx(49.0, abs=1e-12)
+
+
+def test_proj4_utm_resolution_and_strictness():
+    b = pj.resolve_proj4_pair(LONGLAT, "+proj=utm +zone=17 +datum=WGS84")
+    E, N = b.transform(np.array([-79.387139]), np.array([43.642567]))
+    ke, kn = pj.utm_forward(-79.387139, 43.642567, 17)
+    assert E[0] == ke and N[0] == kn
+    s = pj.resolve_proj4_pair(LONGLAT, "+proj=utm +zone=59 +south")
+    Es, Ns = s.transform(np.array([172.0]), np.array([-43.5]))
+    assert Ns[0] == pj.utm_forward(172.0, -43.5, 59, south=True)[1]
+    with pytest.raises(ValueError, match="zone"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=utm +datum=WGS84")
+    # datum strictness applies to utm/tmerc like every other backend
+    with pytest.raises(ValueError, match="datum shift"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=utm +zone=31 +ellps=intl")
+    # explicit lon_0 on +proj=utm means "generic tmerc" — loud, not
+    # silently ignored
+    with pytest.raises(ValueError, match="not supported"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=utm +zone=31 +lon_0=9")
+
+
+def test_utm_epsg_registry_and_map_projection():
+    # all 120 codes registered
+    for z in (1, 17, 31, 60):
+        assert f"EPSG:{32600 + z}" in pj.ANALYTIC_PROJECTIONS
+        assert f"EPSG:{32700 + z}" in pj.ANALYTIC_PROJECTIONS
+    # MapProjection end-to-end, pyproj-free, incl. zone capture check
+    # (each registered lambda must project in ITS zone)
+    m17 = kt.MapProjection("EPSG:4326", "EPSG:32617")
+    m18 = kt.MapProjection("EPSG:4326", "EPSG:32618")
+    x17, _ = m17.predict([-79.387139], [43.642567])
+    x18, _ = m18.predict([-79.387139], [43.642567])
+    assert x17[0] == pj.utm_forward(-79.387139, 43.642567, 17)[0]
+    assert x18[0] == pj.utm_forward(-79.387139, 43.642567, 18)[0]
+    assert x17[0] != x18[0]
+    # south code carries the false northing
+    _, ns = kt.MapProjection("EPSG:4326", "EPSG:32759").predict([172.0], [-43.5])
+    assert ns[0] > 4.0e6
+    # inverse registration round-trips
+    lo, la = kt.MapProjection("EPSG:32617", "EPSG:4326").predict(
+        *kt.MapProjection("EPSG:4326", "EPSG:32617").predict([-79.4], [43.6])
+    )
+    assert lo[0] == pytest.approx(-79.4, abs=1e-11)
+    assert la[0] == pytest.approx(43.6, abs=1e-11)
+
+
+def test_utm_stage_sql_twins_match_kernel(spark):
+    """The shared dialect-portable stage text (geo.tm_forward_stages)
+    run by BOTH engines agrees with the numpy kernel to < 1e-6 m —
+    exp/ln-spelled hyperbolics vs numpy's sinh/cosh only differ in
+    ulps."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    lon = np.linspace(-5.0, 11.0, 23)
+    lat = np.linspace(-83.0, 83.0, 23)
+    kx, ky = pj.transverse_mercator_forward(
+        lon, lat, lon0=3.0, k0=pj.UTM_K0, fe=pj.UTM_FE
+    )
+    stages, E_sql, N_sql = geo.tm_forward_stages()
+    pts = pd.DataFrame(
+        {"lon": lon, "lat": lat, "lon0v": 3.0, "fnv": 0.0}
+    )
+    # DuckDB
+    con = duckdb.connect()
+    con.register("base", pts)
+    prev = "base"
+    sql_parts = []
+    for i, (name, expr) in enumerate(stages):
+        sql_parts.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    d = con.sql(
+        "WITH " + ", ".join(sql_parts)
+        + f" SELECT {E_sql} AS x, {N_sql} AS y FROM {prev}"
+    ).df()
+    np.testing.assert_allclose(d.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(d.y.values, ky, atol=1e-6)
+    # Spark, same text via F.expr
+    sdf = spark.createDataFrame(pts)
+    for name, expr in stages:
+        sdf = sdf.withColumn(name, F.expr(expr))
+    pdf = (
+        sdf.select(F.expr(E_sql).alias("x"), F.expr(N_sql).alias("y"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+
+
+def test_utm_cells_is_pure_codegen(spark, sf_dir):
+    from transformio_spark.plans import queries as q
+
+    plan = (
+        q.q_utm_cells(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Python" not in plan and "Arrow" not in plan

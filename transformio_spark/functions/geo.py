@@ -372,3 +372,77 @@ def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"+ cos(radians({lat1})) * cos(radians({lat2})) "
         f"* pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (round 5) — ONE shared stage list runs as
+# Spark F.expr columns AND as the DuckDB oracle's CTE chain
+# ---------------------------------------------------------------------------
+
+def tm_forward_stages(k0: float | None = None, fe: float | None = None):
+    """Krüger n^4-series transverse Mercator forward (Karney 2011, the
+    same public series as kernels.projections.transverse_mercator_forward)
+    as an ordered list of (column_name, sql_expr) stages over input
+    columns ``lon``, ``lat``, ``lon0v`` (central meridian, deg) and
+    ``fnv`` (false northing, m); returns (stages, E_expr, N_expr).
+
+    The expression TEXT is dialect-shared: Spark applies each stage
+    with F.expr, the DuckDB oracle as one CTE per stage — the engines
+    therefore run the IDENTICAL operation sequence and the per-point
+    meter rounding in the gate observables absorbs libm ulp noise.
+    Hyperbolics are spelled via exp/ln (sinh/cosh/atanh/asinh are
+    Spark-only; DuckDB lacks them): atanh(z) = ln((1+z)/(1-z))/2,
+    asinh(z) = ln(z + sqrt(z^2+1)), cosh/sinh(2j*eta') share one
+    exp(2*eta') stage and its integer powers."""
+    from ..kernels.projections import _TM_A, _TM_ALPHA, _TM_E, UTM_FE, UTM_K0
+
+    if k0 is None:
+        k0 = UTM_K0
+    if fe is None:
+        fe = UTM_FE
+    e = dlit_sql(_TM_E)
+    kA = dlit_sql(k0 * _TM_A)
+    a1, a2, a3, a4 = (dlit_sql(a) for a in _TM_ALPHA)
+    half = "cast(0.5 as double)"
+    one = "cast(1.0 as double)"
+    stages = [
+        ("lam", "radians(lon) - radians(lon0v)"),
+        ("sphi", "sin(radians(lat))"),
+        ("slam", "sin(lam)"),
+        ("clam", "cos(lam)"),
+        ("ww", f"{half} * ln(({one} + sphi) / ({one} - sphi)) "
+               f"- {e} * {half} * ln(({one} + {e} * sphi) / ({one} - {e} * sphi))"),
+        ("tt", f"(exp(ww) - {one} / exp(ww)) / cast(2.0 as double)"),
+        ("xip", "atan2(tt, clam)"),
+        ("qq", "slam / sqrt(tt * tt + clam * clam)"),
+        ("etap", f"ln(qq + sqrt(qq * qq + {one}))"),
+        ("ee2", "exp(cast(2.0 as double) * etap)"),
+        ("ee4", "ee2 * ee2"),
+        ("ee6", "ee2 * ee2 * ee2"),
+        ("ee8", "ee2 * ee2 * ee2 * ee2"),
+        ("xi", f"xip + {a1} * sin(cast(2.0 as double) * xip) * ((ee2 + {one} / ee2) / cast(2.0 as double)) "
+               f"+ {a2} * sin(cast(4.0 as double) * xip) * ((ee4 + {one} / ee4) / cast(2.0 as double)) "
+               f"+ {a3} * sin(cast(6.0 as double) * xip) * ((ee6 + {one} / ee6) / cast(2.0 as double)) "
+               f"+ {a4} * sin(cast(8.0 as double) * xip) * ((ee8 + {one} / ee8) / cast(2.0 as double))"),
+        ("eta", f"etap + {a1} * cos(cast(2.0 as double) * xip) * ((ee2 - {one} / ee2) / cast(2.0 as double)) "
+                f"+ {a2} * cos(cast(4.0 as double) * xip) * ((ee4 - {one} / ee4) / cast(2.0 as double)) "
+                f"+ {a3} * cos(cast(6.0 as double) * xip) * ((ee6 - {one} / ee6) / cast(2.0 as double)) "
+                f"+ {a4} * cos(cast(8.0 as double) * xip) * ((ee8 - {one} / ee8) / cast(2.0 as double))"),
+    ]
+    E = f"{dlit_sql(fe)} + {kA} * eta"
+    N = f"fnv + {kA} * xi"
+    return stages, E, N
+
+
+# UTM zone assignment over a lon/lat point — same text both dialects.
+# Zone 1..60 from floor((lon+180)/6); lon = 180 exactly would index
+# zone 61, clamped like PROJ does.
+UTM_ZONE_SQL = (
+    "cast(least(greatest(floor((lon + cast(180.0 as double)) / "
+    "cast(6.0 as double)) + 1, 1), 60) as bigint)"
+)
+UTM_LON0_SQL = "cast(zone * 6 - 183 as double)"
+UTM_FN_SQL = (
+    "CASE WHEN lat < cast(0.0 as double) THEN cast(10000000.0 as double) "
+    "ELSE cast(0.0 as double) END"
+)

@@ -17,6 +17,12 @@ Working Manual* (USGS PP 1395):
                     lat_ts=71 lon_0=18 FE=FN=2e6) — EPSG GN7-2
                     §3.2.4, WGS84 ellipsoid; verified against the
                     guidance note's variant-B worked example
+- Transverse Mercator / UTM (EPSG:32601-32660 north, 32701-32760
+                    south, plus generic '+proj=tmerc'/'+proj=utm')
+                    — Krüger n^4 series per Karney, "Transverse
+                    Mercator with an accuracy of a few nanometers",
+                    J. Geodesy 85 (2011); round 5, closes the
+                    "most common next CRS family" gap
 
 Sphere-radius convention: PROJ evaluates these spherical-only
 projections on an ellipsoidal CRS using the semi-major axis as the
@@ -402,6 +408,171 @@ def orthographic_inverse(
 
 
 # ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (Krüger n-series; EPSG method 9807)
+# ---------------------------------------------------------------------------
+# Public formulas: Krüger (1912) as re-derived in Karney, "Transverse
+# Mercator with an accuracy of a few nanometers", J. Geodesy 85 (2011)
+# — the same series PROJ's default tmerc (poder/engsager) and
+# GeographicLib use.  Series truncated at n^4: for WGS84
+# (n ≈ 1.679e-3) the omitted n^5 terms are below 0.05 mm, far inside
+# the meter rounding every gate observable applies.  Valid within a
+# UTM-like band (|lon - lon0| up to tens of degrees); UTM itself stays
+# within ±3° + overlap.  This closes "arbitrary-CRS support" gap #1
+# from round 4: UTM is the most common projected-CRS family a
+# reference user (reference transforms.py:536-544, any pyproj CRS)
+# would hit next.
+
+
+def _tm_constants(a: float = A_WGS84, f: float = F_WGS84):
+    """(e, n, A, alpha[4], beta[4]) for the Krüger series: third
+    flattening n, rectifying radius A, forward coefficients alpha,
+    inverse coefficients beta (Karney 2011 eqs. 12, 14, 35; n^4)."""
+    n = f / (2.0 - f)
+    n2, n3, n4 = n * n, n ** 3, n ** 4
+    big_a = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0,
+        13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0,
+        61.0 * n3 / 240.0 - 103.0 * n4 / 140.0,
+        49561.0 * n4 / 161280.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0,
+        n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0,
+        17.0 * n3 / 480.0 - 37.0 * n4 / 840.0,
+        4397.0 * n4 / 161280.0,
+    )
+    e = np.sqrt(f * (2.0 - f))
+    return e, n, big_a, alpha, beta
+
+
+_TM_E, _TM_N, _TM_A, _TM_ALPHA, _TM_BETA = _tm_constants()
+
+# Newton solve of the inverse conformal latitude (GeographicLib
+# Math::tauf).  6 fixed iterations reach a double-precision fixed
+# point for any latitude (the solve is quadratically convergent from
+# the tau'/(1-e^2) start); fixed count, not a tolerance loop, for the
+# same determinism reason as MOLL_NEWTON_ITERS.
+TM_TAUF_ITERS = 6
+
+
+def _tm_xi_eta(lam, phi):
+    """Gauss-Schreiber (xi', eta') then Krüger series (xi, eta) for
+    lon-offset lam / latitude phi, both radians."""
+    e, alpha = _TM_E, _TM_ALPHA
+    sphi = np.sin(phi)
+    # conformal latitude as tau' = tan(chi); at the exact poles
+    # arctanh(±1) = ±inf propagates to t = ±inf, which atan2/hypot
+    # absorb into xi' = ±pi/2, eta' = 0 — the correct pole image
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    coslam = np.cos(lam)
+    xip = np.arctan2(t, coslam)
+    etap = np.arcsinh(np.sin(lam) / np.hypot(t, coslam))
+    xi, eta = xip, etap
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * np.sin(2.0 * j * xip) * np.cosh(2.0 * j * etap)
+        eta = eta + aj * np.cos(2.0 * j * xip) * np.sinh(2.0 * j * etap)
+    return xi, eta
+
+
+def _tm_m0(lat0: float) -> float:
+    """Rectifying arc A*xi at (lat0, central meridian) — the northing
+    origin shift a nonzero +lat_0 subtracts (EPSG method 9807)."""
+    if lat0 == 0.0:
+        return 0.0
+    xi, _ = _tm_xi_eta(np.array(0.0), np.array(np.radians(lat0)))
+    return float(_TM_A * xi)
+
+
+def transverse_mercator_forward(
+    lon, lat, lon0: float = 0.0, k0: float = 1.0,
+    fe: float = 0.0, fn: float = 0.0, lat0: float = 0.0,
+):
+    """lon/lat deg -> transverse Mercator meters (WGS84 ellipsoid,
+    Krüger n^4 series)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    # wrap to (-pi, pi] so a source longitude across the antimeridian
+    # lands on the near side of the central meridian (PROJ wraps the
+    # same way); zero-offset inputs take the bit-identical fast path
+    if lon0 != 0.0:
+        lam = lam - 2.0 * np.pi * np.floor((lam + np.pi) / (2.0 * np.pi))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    xi, eta = _tm_xi_eta(lam, phi)
+    E = fe + k0 * _TM_A * eta
+    N = fn + k0 * (_TM_A * xi - _tm_m0(lat0))
+    return E, N
+
+
+def _tm_tauf(taup):
+    """tau = tan(phi) from tau' = tan(chi) (inverse conformal
+    latitude), Newton with TM_TAUF_ITERS fixed steps (GeographicLib
+    Math::tauf; Karney 2011 eq. 19-20)."""
+    e = _TM_E
+    e2m = 1.0 - e * e
+    tau = taup / e2m
+    for _ in range(TM_TAUF_ITERS):
+        tau1 = np.hypot(1.0, tau)
+        sig = np.sinh(e * np.arctanh(e * tau / tau1))
+        taupa = np.hypot(1.0, sig) * tau - sig * tau1
+        tau = tau + (taup - taupa) * (1.0 + e2m * tau * tau) / (
+            e2m * tau1 * np.hypot(1.0, taupa)
+        )
+    return tau
+
+
+def transverse_mercator_inverse(
+    E, N, lon0: float = 0.0, k0: float = 1.0,
+    fe: float = 0.0, fn: float = 0.0, lat0: float = 0.0,
+):
+    beta = _TM_BETA
+    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * _TM_A)
+    xi = (np.asarray(N, dtype=np.float64) - fn + k0 * _tm_m0(lat0)) / (k0 * _TM_A)
+    xi, eta = np.broadcast_arrays(xi, eta)
+    xip, etap = xi, eta
+    for j, bj in enumerate(beta, start=1):
+        xip = xip - bj * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        etap = etap - bj * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    sh = np.sinh(etap)
+    cosxip = np.cos(xip)
+    taup = np.sin(xip) / np.hypot(sh, cosxip)
+    lam = np.arctan2(sh, cosxip)
+    phi = np.arctan(_tm_tauf(taup))
+    lon = np.degrees(lam) + lon0
+    if lon0 != 0.0:
+        lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
+    return lon, np.degrees(phi)
+
+
+UTM_K0 = 0.9996
+UTM_FE = 500_000.0
+UTM_FN_SOUTH = 10_000_000.0
+
+
+def utm_lon0(zone: int) -> float:
+    """Central meridian of UTM zone 1..60 (zone 31 -> 3°E)."""
+    zone = int(zone)
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return zone * 6.0 - 183.0
+
+
+def utm_forward(lon, lat, zone: int, south: bool = False):
+    return transverse_mercator_forward(
+        lon, lat, lon0=utm_lon0(zone), k0=UTM_K0, fe=UTM_FE,
+        fn=UTM_FN_SOUTH if south else 0.0,
+    )
+
+
+def utm_inverse(E, N, zone: int, south: bool = False):
+    return transverse_mercator_inverse(
+        E, N, lon0=utm_lon0(zone), k0=UTM_K0, fe=UTM_FE,
+        fn=UTM_FN_SOUTH if south else 0.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # proj4 string resolution (the reference's README passes proj4
 # strings, not authority codes — README.md:139-141, 470-472)
 # ---------------------------------------------------------------------------
@@ -525,7 +696,9 @@ def resolve_proj4_pair(fromcrs, tocrs):
         return None
 
     name = proj.get("proj")
-    if name not in _PROJ4_BACKENDS and name not in ("ortho", "merc", "webmerc"):
+    if name not in _PROJ4_BACKENDS and name not in (
+        "ortho", "merc", "webmerc", "utm", "tmerc"
+    ):
         return None
     # neither side may carry a datum shift vs WGS84 (advisor fix:
     # '+proj=longlat +datum=NAD27' or '+ellps=intl' must be loud)
@@ -534,6 +707,13 @@ def resolve_proj4_pair(fromcrs, tocrs):
     known = {"proj", "lon_0", "x_0", "y_0"} | _PROJ4_IGNORABLE
     if name == "ortho":
         known = known | {"lat_0"}
+    elif name == "utm":
+        # '+proj=utm +zone=N [+south]' — lon_0/x_0/y_0 are FIXED by
+        # the UTM convention; an explicit override means the caller
+        # wants generic tmerc and should say so
+        known = (known - {"lon_0", "x_0", "y_0"}) | {"zone", "south"}
+    elif name == "tmerc":
+        known = known | {"lat_0", "k", "k_0"}
     elif name in ("merc", "webmerc"):
         # spherical web-Mercator only.  PROJ's bare '+proj=merc' is
         # ELLIPSOIDAL (~21 km max northing difference), so plain merc
@@ -567,6 +747,24 @@ def resolve_proj4_pair(fromcrs, tocrs):
     lon0 = float(proj.get("lon_0", 0.0))
     x0 = float(proj.get("x_0", 0.0))
     y0 = float(proj.get("y_0", 0.0))
+    if name == "utm":
+        if "zone" not in proj:
+            raise ValueError("+proj=utm requires +zone=1..60")
+        zone = int(float(proj["zone"]))
+        south = bool(proj.get("south", False))
+        fwd = lambda lon, lat: utm_forward(lon, lat, zone, south=south)  # noqa: E731
+        inv = lambda E, N: utm_inverse(E, N, zone, south=south)  # noqa: E731
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name == "tmerc":
+        k0 = float(proj.get("k", proj.get("k_0", 1.0)))
+        lat0 = float(proj.get("lat_0", 0.0))
+        fwd = lambda lon, lat: transverse_mercator_forward(  # noqa: E731
+            lon, lat, lon0=lon0, k0=k0, fe=x0, fn=y0, lat0=lat0
+        )
+        inv = lambda E, N: transverse_mercator_inverse(  # noqa: E731
+            E, N, lon0=lon0, k0=k0, fe=x0, fn=y0, lat0=lat0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
     if name == "ortho":
         lat0 = float(proj.get("lat_0", 0.0))
         fwd, inv = _offset_pair(
@@ -653,3 +851,20 @@ ANALYTIC_PROJECTIONS = {
     # tests/test_projections.py.
     "EPSG:5939": _ps_pair(71.0, lon0=18.0, fe=2_000_000.0, fn=2_000_000.0),
 }
+
+
+def _utm_pair(zone: int, south: bool):
+    # default-arg binding so each zone's lambdas capture THEIR zone
+    return _pair(
+        lambda lon, lat, z=zone, s=south: utm_forward(lon, lat, z, south=s),
+        lambda E, N, z=zone, s=south: utm_inverse(E, N, z, south=s),
+    )
+
+
+# WGS 84 / UTM: EPSG:32601-32660 (north), EPSG:32701-32760 (south) —
+# all 120 published codes, one Krüger-series backend parameterized by
+# zone central meridian + hemisphere false northing
+for _z in range(1, 61):
+    ANALYTIC_PROJECTIONS[f"EPSG:{32600 + _z}"] = _utm_pair(_z, south=False)
+    ANALYTIC_PROJECTIONS[f"EPSG:{32700 + _z}"] = _utm_pair(_z, south=True)
+del _z

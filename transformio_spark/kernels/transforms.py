@@ -616,12 +616,16 @@ class MapProjection(_BaseTransform):
 
                     backend = resolve_proj4_pair(fromcrs, tocrs)
                     if backend is None:
-                        known = sorted({c for p in self._ANALYTIC for c in p})
+                        # elide the 120 UTM codes — one family, one line
+                        known = sorted(
+                            {c for p in self._ANALYTIC for c in p
+                             if not (c.startswith("EPSG:326") or c.startswith("EPSG:327"))}
+                        ) + ["EPSG:32601-32660/32701-32760 (UTM)"]
                         raise ImportError(
                             "pyproj is required for CRS pair "
                             f"{fromcrs!r}->{tocrs!r}; without it only "
                             f"lon/lat pairs among {known} and proj4 "
-                            "moll/robin/vandg/ortho are analytic"
+                            "moll/robin/vandg/ortho/utm/tmerc are analytic"
                         )
                     self._transformer_cache[key] = backend
         self._transformer = self._transformer_cache[key]

@@ -316,6 +316,42 @@ ORDER BY 1, 2
 """
 
 
+def utm_cells() -> str:
+    """SQL twin of q_utm_cells: the SAME stage text from
+    functions/geo.tm_forward_stages (Spark runs it via F.expr, here it
+    unrolls as one CTE per stage), so both engines execute the
+    identical Krüger-series operation sequence; meter rounding before
+    the sums absorbs libm ulp noise."""
+    from ..functions.geo import (
+        UTM_FN_SQL, UTM_LON0_SQL, UTM_ZONE_SQL, tm_forward_stages,
+    )
+
+    stages, E_sql, N_sql = tm_forward_stages()
+    ctes = [
+        f"z AS (SELECT lon, lat, {UTM_ZONE_SQL} AS zone FROM pts)",
+        f"zf AS (SELECT *, {UTM_LON0_SQL} AS lon0v, {UTM_FN_SQL} AS fnv FROM z)",
+    ]
+    prev = "zf"
+    for i, (name, expr) in enumerate(stages):
+        ctes.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    ctes.append(f"m AS (SELECT zone, lat, {E_sql} AS mx, {N_sql} AS my FROM {prev})")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {geo_oracle.points_cte()},
+{chain}
+SELECT zone,
+       CASE WHEN lat < cast(0.0 as double) THEN 'S' ELSE 'N' END AS hemi,
+       cast(floor(my / 1000000.0e0) as bigint) AS cell_n,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

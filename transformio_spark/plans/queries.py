@@ -475,7 +475,10 @@ def q_loo_residuals(spark, sf_dir) -> DataFrame:
     """Leave-one-out residuals on the china22 GCP set (SURVEY §2.3 op
     19) — n parallel refits via groupBy(held-out id).applyInPandas,
     each group running the parity kernel.  Values are golden-pinned in
-    tests; rows-only driver check (re-fitting is not SQL)."""
+    tests; fully oracled since round 4 — the DuckDB twin embeds the
+    22 pre-fitted held-out coefficient rows as literals and re-runs
+    predict + haversine relationally (only the fit itself is not
+    SQL)."""
     import pandas as _pd
 
     from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
@@ -752,8 +755,8 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     inside mapInPandas, pooled to features.  The DuckDB twin
     recomputes the decoded pixel/sample values arithmetically —
     agreement validates container build + codec + pooling end-to-end.
-    Video (no codec in this environment) is covered rows-only by
-    q_media_frames."""
+    Video is covered by q_media_frames, fully oracled since round 5
+    via the real RIFF/AVI decode path (kernels/avi.py)."""
     from ..operators import multimodal
 
     docs = synth.docs_spans(spark, sf_dir).where(
@@ -1009,6 +1012,53 @@ def q_robinson_cells(spark, sf_dir) -> DataFrame:
             F.sum("my_m").alias("sum_my_m"),
         )
         .orderBy("cell_x", "cell_y")
+    )
+
+
+def q_utm_cells(spark, sf_dir) -> DataFrame:
+    """Transverse Mercator / UTM (round 5 — SURVEY op 14's next CRS
+    family; the reference accepts any pyproj CRS incl. all 120
+    EPSG:326xx/327xx codes, reference transforms.py:536-544): every
+    extracted point is assigned its OWN UTM zone (+south false
+    northing below the equator) and projected by the Krüger n^4
+    series (kernels/projections.py transverse_mercator_forward).
+
+    Physical plan: the per-zone central meridian is just a column, so
+    the whole projection — conformal latitude, Gauss-Schreiber, the
+    four series terms — runs as F.expr stages over the SHARED
+    dialect-portable text from functions/geo.tm_forward_stages; pure
+    whole-stage codegen, zero Python, no shuffle before the final
+    cell aggregate.  The DuckDB oracle replays the identical stage
+    text as a CTE chain; per-point meter rounding absorbs libm ulp
+    noise.  Observables: per (zone, hemisphere, 1000-km northing
+    cell) counts and meter-rounded coordinate sums."""
+    from ..functions.geo import (
+        UTM_FN_SQL, UTM_LON0_SQL, UTM_ZONE_SQL, tm_forward_stages,
+    )
+
+    out = points_df(spark, sf_dir).withColumn("zone", F.expr(UTM_ZONE_SQL))
+    out = out.withColumns(
+        {"lon0v": F.expr(UTM_LON0_SQL), "fnv": F.expr(UTM_FN_SQL)}
+    )
+    stages, E_sql, N_sql = tm_forward_stages()
+    for name, expr in stages:
+        out = out.withColumn(name, F.expr(expr))
+    out = out.withColumns({"mx": F.expr(E_sql), "my": F.expr(N_sql)})
+    return (
+        out.select(
+            "zone",
+            F.when(F.col("lat") < 0.0, F.lit("S")).otherwise(F.lit("N")).alias("hemi"),
+            F.floor(F.col("my") / 1_000_000.0).alias("cell_n"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("zone", "hemi", "cell_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("zone", "hemi", "cell_n")
     )
 
 
