@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polar_cells": _shipped(q.q_polar_cells),
         "robinson_cells": _shipped(q.q_robinson_cells),
         "utm_cells": _shipped(q.q_utm_cells),
+        "lcc_cells": _shipped(q.q_lcc_cells),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "polar_cells": oracles.polar_cells(),
         "robinson_cells": oracles.robinson_cells(),
         "utm_cells": oracles.utm_cells(),
+        "lcc_cells": oracles.lcc_cells(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "warp_affine_checksums": oracles.warp_affine_checksums(),
         "loo_residuals": oracles.loo_residuals(),

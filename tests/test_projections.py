@@ -734,3 +734,216 @@ def test_utm_cells_is_pure_codegen(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP + Albers Equal Area (round 5)
+# ---------------------------------------------------------------------------
+
+CLARKE1866_A = 6378206.4
+CLARKE1866_F = 1.0 / 294.978698214
+
+
+def test_lcc_published_worked_examples():
+    # Snyder PP1395 Appendix A, LCC ellipsoid example (Clarke 1866,
+    # std parallels 33N/45N, origin 23N 96W, point 35N 75W):
+    # x = 1 894 410.9 m, y = 1 564 649.5 m
+    x, y = pj.lambert_conformal_forward(
+        -75.0, 35.0, 33.0, 45.0, lat0=23.0, lon0=-96.0,
+        a=CLARKE1866_A, f=CLARKE1866_F,
+    )
+    assert x == pytest.approx(1894410.9, abs=0.05)
+    assert y == pytest.approx(1564649.5, abs=0.05)
+    # EPSG GN7-2 §3.1.1 LCC 2SP worked example (NAD27 Texas South
+    # Central, US survey feet: a = 20925832.16 ftUS, 1/f = 294.97870,
+    # std parallels 28°23'/30°17', origin 27°50'N 99°W,
+    # FE = 2 000 000 ftUS; point 28°30'N 96°W):
+    # E = 2 963 503.91 ftUS, N = 254 759.80 ftUS
+    x, y = pj.lambert_conformal_forward(
+        -96.0, 28.5, 28.0 + 23.0 / 60.0, 30.0 + 17.0 / 60.0,
+        lat0=27.0 + 50.0 / 60.0, lon0=-99.0, fe=2_000_000.0,
+        a=20925832.16, f=1.0 / 294.97870,
+    )
+    assert x == pytest.approx(2963503.91, abs=0.05)
+    assert y == pytest.approx(254759.80, abs=0.05)
+
+
+def test_albers_published_worked_example():
+    # Snyder PP1395 Appendix A, Albers ellipsoid example (Clarke 1866,
+    # std parallels 29.5N/45.5N, origin 23N 96W, point 35N 75W):
+    # x = 1 885 472.7 m, y = 1 535 925.0 m
+    x, y = pj.albers_forward(
+        -75.0, 35.0, 29.5, 45.5, lat0=23.0, lon0=-96.0,
+        a=CLARKE1866_A, f=CLARKE1866_F,
+    )
+    assert x == pytest.approx(1885472.7, abs=0.05)
+    assert y == pytest.approx(1535925.0, abs=0.05)
+
+
+def test_lcc_standard_parallel_scale_and_conformality():
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def scales(lon, lat, d=1e-5):
+        x0, y0 = pj.lambert_conformal_forward(lon, lat, 35.0, 65.0,
+                                              lat0=52.0, lon0=10.0)
+        x1, y1 = pj.lambert_conformal_forward(lon + d, lat, 35.0, 65.0,
+                                              lat0=52.0, lon0=10.0)
+        x2, y2 = pj.lambert_conformal_forward(lon, lat + d, 35.0, 65.0,
+                                              lat0=52.0, lon0=10.0)
+        sphi = math.sin(math.radians(lat))
+        m_rad = pj.A_WGS84 * (1 - e2) / (1 - e2 * sphi * sphi) ** 1.5
+        n_rad = pj.A_WGS84 / math.sqrt(1 - e2 * sphi * sphi)
+        h = math.hypot(x2 - x0, y2 - y0) / (m_rad * math.radians(d))
+        k = math.hypot(x1 - x0, y1 - y0) / (
+            n_rad * math.cos(math.radians(lat)) * math.radians(d)
+        )
+        return h, k
+
+    # k = 1 exactly on BOTH standard parallels (2SP defining property)
+    for lat in (35.0, 65.0):
+        _, k = scales(25.0, lat)
+        assert k == pytest.approx(1.0, abs=1e-7)
+    # conformal: meridian and parallel scale agree everywhere
+    for lon, lat in [(10.0, 52.0), (2.0, 35.0), (30.0, 65.0), (-20.0, 20.0)]:
+        h, k = scales(lon, lat)
+        assert h == pytest.approx(k, rel=1e-6)
+    # scale < 1 between the parallels, > 1 outside
+    assert scales(10.0, 50.0)[1] < 1.0
+    assert scales(10.0, 20.0)[1] > 1.0
+    assert scales(10.0, 75.0)[1] > 1.0
+
+
+def test_albers_equal_area_property():
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def area_ratio(lon, lat, d=1e-3):
+        x0, y0 = pj.albers_forward(lon, lat, 20.0, -23.0, lon0=25.0)
+        x1, y1 = pj.albers_forward(lon + d, lat, 20.0, -23.0, lon0=25.0)
+        x2, y2 = pj.albers_forward(lon, lat + d, 20.0, -23.0, lon0=25.0)
+        proj = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        sphi = math.sin(math.radians(lat))
+        ell = (pj.A_WGS84 ** 2 * (1 - e2) * math.cos(math.radians(lat))
+               / (1 - e2 * sphi * sphi) ** 2) * math.radians(d) ** 2
+        return proj / ell
+
+    for lon, lat in [(25.0, 0.0), (0.0, 45.0), (80.0, -60.0), (-170.0, 30.0)]:
+        assert area_ratio(lon, lat) == pytest.approx(1.0, abs=5e-5)
+
+
+def test_conic_roundtrips_including_pole():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.99, 179.99, 4000)
+    lat = rng.uniform(-89.5, 89.5, 4000)
+    # LCC (EPSG:3034 params)
+    E, N = pj.lambert_conformal_forward(lon, lat, 35.0, 65.0, lat0=52.0,
+                                        lon0=10.0, fe=4e6, fn=2.8e6)
+    lo, la = pj.lambert_conformal_inverse(E, N, 35.0, 65.0, lat0=52.0,
+                                          lon0=10.0, fe=4e6, fn=2.8e6)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-11 and np.abs(la - lat).max() < 1e-11
+    # Albers (ESRI:102022 params)
+    E, N = pj.albers_forward(lon, lat, 20.0, -23.0, lon0=25.0)
+    lo, la = pj.albers_inverse(E, N, 20.0, -23.0, lon0=25.0)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-11 and np.abs(la - lat).max() < 1e-9
+    # the exact poles snap back exactly (PROJ-style |q| >= q_pole)
+    for plat in (90.0, -90.0):
+        _, la = pj.albers_inverse(
+            *pj.albers_forward(0.0, plat, 20.0, -23.0, lon0=25.0),
+            20.0, -23.0, lon0=25.0,
+        )
+        assert float(la) == plat
+
+
+def test_conic_registry_and_proj4_resolution():
+    # EPSG:3034 false origin is exact by construction
+    fwd = pj.ANALYTIC_PROJECTIONS["EPSG:3034"][0]()
+    X, Y = fwd.transform(np.array([10.0]), np.array([52.0]))
+    assert X[0] == pytest.approx(4_000_000.0, abs=1e-6)
+    assert Y[0] == pytest.approx(2_800_000.0, abs=1e-6)
+    # proj4 string resolves to the same backend
+    b = pj.resolve_proj4_pair(
+        LONGLAT,
+        "+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 "
+        "+x_0=4000000 +y_0=2800000 +ellps=GRS80 +units=m +no_defs",
+    )
+    Xp, Yp = b.transform(np.array([2.3]), np.array([48.9]))
+    Xr, Yr = fwd.transform(np.array([2.3]), np.array([48.9]))
+    assert Xp[0] == Xr[0] and Yp[0] == Yr[0]
+    # aea likewise, vs ESRI:102022
+    fa = pj.ANALYTIC_PROJECTIONS["ESRI:102022"][0]()
+    b2 = pj.resolve_proj4_pair(
+        LONGLAT, "+proj=aea +lat_1=20 +lat_2=-23 +lon_0=25 +datum=WGS84",
+    )
+    Xa, Ya = fa.transform(np.array([36.8]), np.array([-1.3]))
+    Xb, Yb = b2.transform(np.array([36.8]), np.array([-1.3]))
+    assert Xa[0] == Xb[0] and Ya[0] == Yb[0]
+    # inverse direction resolves
+    binv = pj.resolve_proj4_pair(
+        "+proj=aea +lat_1=20 +lat_2=-23 +lon_0=25 +datum=WGS84", LONGLAT,
+    )
+    lo, la = binv.transform(Xa, Ya)
+    assert lo[0] == pytest.approx(36.8, abs=1e-11)
+    assert la[0] == pytest.approx(-1.3, abs=1e-11)
+
+
+def test_proj4_conic_strictness():
+    # missing lat_1 is loud
+    with pytest.raises(ValueError, match="lat_1"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=lcc +lon_0=10")
+    # the 1SP scale-factor variant (EPSG 9801) is loud, not silent
+    with pytest.raises(ValueError, match="9801"):
+        pj.resolve_proj4_pair(
+            LONGLAT, "+proj=lcc +lat_1=49 +k_0=0.99 +lon_0=10"
+        )
+    # datum shifts stay loud for conics too
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair(
+            LONGLAT, "+proj=aea +lat_1=20 +lat_2=-23 +datum=NAD27"
+        )
+    # unknown parameter is loud
+    with pytest.raises(ValueError, match="not supported"):
+        pj.resolve_proj4_pair(
+            LONGLAT, "+proj=lcc +lat_1=35 +lat_2=65 +pm=paris"
+        )
+
+
+def test_lcc_sql_twin_matches_kernel(spark):
+    """The shared expression text (geo.lcc_forward_sql) run by BOTH
+    engines agrees with the numpy kernel to < 1e-6 m."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    lon = np.linspace(-179.0, 179.0, 41)
+    lat = np.linspace(-85.0, 85.0, 41)
+    kx, ky = pj.lambert_conformal_forward(
+        lon, lat, 35.0, 65.0, lat0=52.0, lon0=10.0, fe=4e6, fn=2.8e6
+    )
+    mx, my = geo.lcc_forward_sql(
+        "lon", "lat", 35.0, 65.0, 52.0, lon0=10.0, fe=4e6, fn=2.8e6
+    )
+    pts = pd.DataFrame({"lon": lon, "lat": lat})
+    con = duckdb.connect()
+    con.register("pts", pts)
+    d = con.sql(f"SELECT {mx} AS x, {my} AS y FROM pts").df()
+    np.testing.assert_allclose(d.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(d.y.values, ky, atol=1e-6)
+    pdf = (
+        spark.createDataFrame(pts)
+        .select(F.expr(mx).alias("x"), F.expr(my).alias("y"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+
+
+def test_lcc_cells_is_pure_codegen(spark, sf_dir):
+    from transformio_spark.plans import queries as q
+
+    plan = (
+        q.q_lcc_cells(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan

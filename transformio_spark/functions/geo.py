@@ -446,3 +446,39 @@ UTM_FN_SQL = (
     "CASE WHEN lat < cast(0.0 as double) THEN cast(10000000.0 as double) "
     "ELSE cast(0.0 as double) END"
 )
+
+
+def lcc_forward_sql(
+    lon: str, lat: str, lat1: float, lat2: float, lat0: float,
+    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+) -> tuple[str, str]:
+    """SQL twin of kernels.projections.lambert_conformal_forward (LCC
+    2SP, Snyder §15 / EPSG 9802) — the cone constants (n, a·F, rho0)
+    are computed once driver-side by the SAME kernel helper and
+    embedded as literals; the per-point math (isometric t, rho, theta)
+    is identical text in both dialects.  Round 5."""
+    import math
+
+    from ..kernels.projections import A_WGS84, lcc_constants
+
+    e, n, big_f, rho0 = lcc_constants(lat1, lat2, lat0)
+    aF = dlit_sql(A_WGS84 * big_f)
+    el = dlit_sql(float(e))
+    nl = dlit_sql(n)
+    lam0 = dlit_sql(math.radians(lon0)) if lon0 else "0.0e0"
+    pi = dlit_sql(math.pi)
+    s = f"({el} * sin(radians({lat})))"
+    t = (
+        f"(tan(0.7853981633974483e0 - radians({lat}) / 2) / "
+        f"pow((1.0e0 - {s}) / (1.0e0 + {s}), {dlit_sql(e / 2.0)}))"
+    )
+    rho = f"({aF} * pow({t}, {nl}))"
+    lam_raw = f"(radians({lon}) - {lam0})"
+    lam = (
+        f"({lam_raw} - 2 * {pi} * "
+        f"floor(({lam_raw} + {pi}) / (2 * {pi})))"
+    )
+    th = f"({nl} * {lam})"
+    E = f"({dlit_sql(fe)} + {rho} * sin({th}))"
+    N = f"({dlit_sql(fn)} + {dlit_sql(rho0)} - {rho} * cos({th}))"
+    return E, N

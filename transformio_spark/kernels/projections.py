@@ -573,6 +573,195 @@ def utm_inverse(E, N, zone: int, south: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Conic families: Lambert Conformal Conic 2SP (EPSG method 9802) and
+# Albers Equal Area (EPSG method 9822) — round 5
+# ---------------------------------------------------------------------------
+# Public formulas: Snyder PP1395 §15 (LCC, eqs. 14-15/15-1..15-11) and
+# §14 (Albers, eqs. 3-12/14-12..14-21); identical to EPSG GN7-2
+# §3.1.1/§3.5.1.  Both take (a, f) so the kernel math is verifiable
+# against the published Clarke-1866 worked examples (Snyder Appendix A
+# and the GN7-2 Texas South Central US-survey-foot example — all three
+# reproduced to < 1 cm in tests) while the REGISTERED CRS codes stay
+# on WGS84/GRS80 per module datum policy.  After UTM these are the
+# projected-CRS families a reference user (any pyproj CRS,
+# reference transforms.py:536-544) most commonly hits next: LCC runs
+# most US State Plane + European national grids, Albers the standard
+# continental equal-area atlases.
+
+# Fixed-count inverse-latitude iterations (same determinism rationale
+# as MOLL_NEWTON_ITERS / TM_TAUF_ITERS): both solves contract by
+# ~e^2 ≈ 6.7e-3 per step, so 8/10 steps sit far past the double fixed
+# point for any |lat| <= 89.999.
+LCC_PHI_ITERS = 8
+AEA_PHI_ITERS = 10
+
+
+def _ecc(a: float, f: float):
+    e2 = f * (2.0 - f)
+    return np.sqrt(e2), e2
+
+
+def _conic_t(phi, e):
+    """t(phi) = tan(pi/4 - phi/2) / [(1 - e sin phi)/(1 + e sin phi)]^(e/2)
+    (Snyder 15-9)."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+def _conic_m(phi, e2):
+    """m(phi) = cos phi / sqrt(1 - e^2 sin^2 phi) (Snyder 14-15)."""
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+
+def _aea_q(phi, e):
+    """Authalic-latitude q(phi) (Snyder 3-12)."""
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - e * e * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _wrap_lam(lam):
+    """Wrap a central-meridian-relative longitude (radians) to
+    (-pi, pi] — same convention as transverse_mercator_forward."""
+    return lam - 2.0 * np.pi * np.floor((lam + np.pi) / (2.0 * np.pi))
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = A_WGS84, f: float = F_WGS84):
+    """(e, n, F, rho0) for LCC 2SP (Snyder 15-8/15-10/15-7a); the 1SP
+    degenerate case lat1 == lat2 takes n = sin(lat1)."""
+    e, e2 = _ecc(a, f)
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    t1, t0 = _conic_t(p1, e), _conic_t(p0, e)
+    if lat1 == lat2:
+        n = float(np.sin(p1))
+    else:
+        m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+        t2 = _conic_t(p2, e)
+        n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+    big_f = float(_conic_m(p1, e2) / (n * t1 ** n))
+    rho0 = float(a * big_f * t0 ** n)
+    return e, n, big_f, rho0
+
+
+def lambert_conformal_forward(
+    lon, lat, lat1: float, lat2: float, lat0: float = 0.0,
+    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """lon/lat deg -> LCC 2SP meters (Snyder 14-1..14-4)."""
+    e, n, big_f, rho0 = lcc_constants(lat1, lat2, lat0, a, f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    rho = a * big_f * _conic_t(phi, e) ** n
+    th = n * lam
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lambert_conformal_inverse(
+    E, N, lat1: float, lat2: float, lat0: float = 0.0,
+    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """LCC meters -> lon/lat deg (Snyder 14-9..14-11, 15-11 fixed
+    LCC_PHI_ITERS-step iteration)."""
+    e, n, big_f, rho0 = lcc_constants(lat1, lat2, lat0, a, f)
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+    x, y = np.broadcast_arrays(x, y)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, y)
+    th = np.arctan2(sgn * x, sgn * y)
+    t = (rho / (a * big_f)) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(LCC_PHI_ITERS):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+        )
+    lon = np.degrees(th / n) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+def aea_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = A_WGS84, f: float = F_WGS84):
+    """(e, n, C, rho0) for Albers (Snyder 14-14/14-13/14-12a)."""
+    e, e2 = _ecc(a, f)
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    m1 = _conic_m(p1, e2)
+    q1, q0 = _aea_q(p1, e), _aea_q(p0, e)
+    if lat1 == lat2:
+        n = float(np.sin(p1))
+    else:
+        m2 = _conic_m(p2, e2)
+        q2 = _aea_q(p2, e)
+        n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+    big_c = float(m1 * m1 + n * q1)
+    rho0 = float(a * np.sqrt(big_c - n * q0) / n)
+    return e, n, big_c, rho0
+
+
+def albers_forward(
+    lon, lat, lat1: float, lat2: float, lat0: float = 0.0,
+    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """lon/lat deg -> Albers equal-area meters (Snyder 14-12/14-1..4)."""
+    e, n, big_c, rho0 = aea_constants(lat1, lat2, lat0, a, f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    rho = a * np.sqrt(big_c - n * _aea_q(phi, e)) / n
+    th = n * lam
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def albers_inverse(
+    E, N, lat1: float, lat2: float, lat0: float = 0.0,
+    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """Albers meters -> lon/lat deg (Snyder 14-19..14-21, 3-16 fixed
+    AEA_PHI_ITERS-step iteration from the authalic start).  The exact
+    pole (|q| == q_pole) is where 3-16's 1/cos(phi) blows up; the
+    start value already lands there so the correction term's NaN is
+    suppressed and the start kept."""
+    e, n, big_c, rho0 = aea_constants(lat1, lat2, lat0, a, f)
+    e2 = e * e
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+    x, y = np.broadcast_arrays(x, y)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, y)
+    th = np.arctan2(sgn * x, sgn * y)
+    q = (big_c - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(AEA_PHI_ITERS):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            step = (one * one) / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / one
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            phi = phi + np.where(np.isfinite(step), step, 0.0)
+    # at-or-past the pole: |q| >= q(±90°) has no interior solution and
+    # the 1/cos blow-up stalls the iteration ~0.004° short — snap to
+    # the pole exactly like PROJ's aea does
+    q_pole = _aea_q(np.pi / 2.0, e)
+    phi = np.where(np.abs(q) >= q_pole * (1.0 - 1e-13),
+                   np.sign(q) * np.pi / 2.0, phi)
+    lon = np.degrees(th / n) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # proj4 string resolution (the reference's README passes proj4
 # strings, not authority codes — README.md:139-141, 470-472)
 # ---------------------------------------------------------------------------
@@ -697,7 +886,7 @@ def resolve_proj4_pair(fromcrs, tocrs):
 
     name = proj.get("proj")
     if name not in _PROJ4_BACKENDS and name not in (
-        "ortho", "merc", "webmerc", "utm", "tmerc"
+        "ortho", "merc", "webmerc", "utm", "tmerc", "lcc", "aea"
     ):
         return None
     # neither side may carry a datum shift vs WGS84 (advisor fix:
@@ -714,6 +903,11 @@ def resolve_proj4_pair(fromcrs, tocrs):
         known = (known - {"lon_0", "x_0", "y_0"}) | {"zone", "south"}
     elif name == "tmerc":
         known = known | {"lat_0", "k", "k_0"}
+    elif name in ("lcc", "aea"):
+        # 2SP conics; PROJ's lcc defaults lat_2 = lat_1 (1SP cone)
+        # and both default lat_0 = 0.  k_0 != 1 (the 1SP scale-factor
+        # variant, EPSG 9801) is not implemented — loud error below.
+        known = known | {"lat_0", "lat_1", "lat_2", "k", "k_0"}
     elif name in ("merc", "webmerc"):
         # spherical web-Mercator only.  PROJ's bare '+proj=merc' is
         # ELLIPSOIDAL (~21 km max northing difference), so plain merc
@@ -763,6 +957,30 @@ def resolve_proj4_pair(fromcrs, tocrs):
         )
         inv = lambda E, N: transverse_mercator_inverse(  # noqa: E731
             E, N, lon0=lon0, k0=k0, fe=x0, fn=y0, lat0=lat0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name in ("lcc", "aea"):
+        if float(proj.get("k", proj.get("k_0", 1.0))) != 1.0:
+            raise ValueError(
+                f"+proj={name} with k_0 != 1 is the 1SP scale-factor "
+                "variant (EPSG 9801) — not implemented analytically "
+                "(install pyproj)"
+            )
+        if "lat_1" not in proj:
+            raise ValueError(f"+proj={name} requires +lat_1")
+        lat1 = float(proj["lat_1"])
+        lat2 = float(proj.get("lat_2", lat1))
+        lat0 = float(proj.get("lat_0", 0.0))
+        kf, ki = (
+            (lambert_conformal_forward, lambert_conformal_inverse)
+            if name == "lcc"
+            else (albers_forward, albers_inverse)
+        )
+        fwd = lambda lon, lat: kf(  # noqa: E731
+            lon, lat, lat1, lat2, lat0=lat0, lon0=lon0, fe=x0, fn=y0
+        )
+        inv = lambda E, N: ki(  # noqa: E731
+            E, N, lat1, lat2, lat0=lat0, lon0=lon0, fe=x0, fn=y0
         )
         return AnalyticProjection(fwd, inv, forward=forward)
     if name == "ortho":
@@ -850,6 +1068,27 @@ ANALYTIC_PROJECTIONS = {
     # example (EPSG:3032 parameters: E 7255380.79, N 7053389.56) in
     # tests/test_projections.py.
     "EPSG:5939": _ps_pair(71.0, lon0=18.0, fe=2_000_000.0, fn=2_000_000.0),
+    # ETRS89-extended / LCC Europe — published EPSG registry
+    # parameters (LCC 2SP, EPSG method 9802): std parallels 35°N/65°N,
+    # false origin 52°N 10°E, FE 4 000 000 m, FN 2 800 000 m, GRS80
+    # (in _WGS84_LIKE; horizontal difference vs WGS84 is sub-meter,
+    # inside every gate observable's rounding)
+    "EPSG:3034": _pair(
+        lambda lon, lat: lambert_conformal_forward(
+            lon, lat, 35.0, 65.0, lat0=52.0, lon0=10.0,
+            fe=4_000_000.0, fn=2_800_000.0,
+        ),
+        lambda E, N: lambert_conformal_inverse(
+            E, N, 35.0, 65.0, lat0=52.0, lon0=10.0,
+            fe=4_000_000.0, fn=2_800_000.0,
+        ),
+    ),
+    # Africa Albers Equal Area Conic — published ESRI registry
+    # parameters on WGS84: std parallels 20°N/-23°S, origin 0°N 25°E
+    "ESRI:102022": _pair(
+        lambda lon, lat: albers_forward(lon, lat, 20.0, -23.0, lon0=25.0),
+        lambda E, N: albers_inverse(E, N, 20.0, -23.0, lon0=25.0),
+    ),
 }
 
 

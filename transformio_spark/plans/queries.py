@@ -1062,6 +1062,45 @@ def q_utm_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lcc_cells(spark, sf_dir) -> DataFrame:
+    """Lambert Conformal Conic 2SP (round 5 — SURVEY op 14's conic
+    family; EPSG:3034 ETRS89/LCC-Europe published parameters): every
+    extracted point projected by the Snyder §15 / EPSG 9802 math.
+
+    Physical plan: the cone constants (n, a·F, rho0) come from the
+    SAME kernel helper the numpy path uses, embedded as literals; the
+    per-point isometric-latitude/rho/theta arithmetic is ONE shared
+    SQL text (functions/geo.lcc_forward_sql) run as F.expr here and
+    verbatim in the DuckDB oracle — pure whole-stage codegen, zero
+    Python, no shuffle before the final cell aggregate.  Observables:
+    1000-km-cell counts + meter-rounded coordinate sums."""
+    from ..functions.geo import lcc_forward_sql
+
+    mx_sql, my_sql = lcc_forward_sql(
+        "lon", "lat", 35.0, 65.0, 52.0, lon0=10.0,
+        fe=4_000_000.0, fn=2_800_000.0,
+    )
+    cell = 1_000_000.0
+    out = points_df(spark, sf_dir).withColumns(
+        {"mx": F.expr(mx_sql), "my": F.expr(my_sql)}
+    )
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
