@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robinson_cells": _shipped(q.q_robinson_cells),
         "utm_cells": _shipped(q.q_utm_cells),
         "lcc_cells": _shipped(q.q_lcc_cells),
+        "sequence_packing": _shipped(q.q_sequence_packing),
+        "stratified_sample": _shipped(q.q_stratified_sample),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
         "model_accuracy": _shipped(q.q_model_accuracy),
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "robinson_cells": oracles.robinson_cells(),
         "utm_cells": oracles.utm_cells(),
         "lcc_cells": oracles.lcc_cells(),
+        "sequence_packing": oracles.sequence_packing(),
+        "stratified_sample": oracles.stratified_sample(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "warp_affine_checksums": oracles.warp_affine_checksums(),
         "loo_residuals": oracles.loo_residuals(),

@@ -377,6 +377,59 @@ ORDER BY 1, 2
 """
 
 
+def sequence_packing() -> str:
+    """SQL twin of q_sequence_packing: ONE sequential global window
+    computes every document's token_start; agreement with the
+    engine's two-level distributed prefix sum (range offsets + per-
+    range windows) proves the decomposition exact."""
+    from .queries import PACK_CAPACITY
+
+    cap = int(PACK_CAPACITY)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) as bigint) AS token_start
+  FROM t
+)
+SELECT cast(floor(token_start / {cap}) as bigint) AS seq_bin,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS sum_tokens,
+       cast(sum(token_start % {cap}) as bigint) AS sum_offsets,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def stratified_sample() -> str:
+    """SQL twin of q_stratified_sample: same md5-digit uniform (shared
+    dialect-portable fragment) and the same sorted-order CASE
+    threshold chain."""
+    from ..operators.sampling import sample_uniform_sql, threshold_case_sql
+    from .queries import SAMPLE_RATES
+
+    u = sample_uniform_sql("doc_id")
+    thr = threshold_case_sql("lang", SAMPLE_RATES)
+    return f"""
+SELECT lang,
+       count(*) AS n_sampled,
+       cast(sum(doc_id) as bigint) AS sum_doc_id,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE {u} < {thr}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

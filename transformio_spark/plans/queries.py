@@ -1101,6 +1101,69 @@ def q_lcc_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+#: packing gate parameters (shared with the oracle)
+PACK_CAPACITY = 512
+#: stratified-sample gate rates (shared with the oracle)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 1.0}
+
+
+def q_sequence_packing(spark, sf_dir) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (round 5 — LLM
+    training-batch construction): every document gets its global
+    token offset, training-sequence bin, and intra-bin offset via the
+    TWO-LEVEL distributed prefix sum in operators/packing.py (coarse
+    monotone ranges -> n_ranges-scalar offset collect -> per-range
+    window), so no executor ever holds the global order.  The DuckDB
+    oracle replays the arithmetic as ONE sequential global window —
+    hash agreement proves the distributed decomposition equals the
+    sequential prefix sum exactly.  Observables: per-bin doc counts,
+    token sums, offset sums, and doc-id span."""
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+    from ..sources import synth
+
+    docs = synth.raw_documents(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, capacity=PACK_CAPACITY)
+    return (
+        packed.groupBy(F.col("seq_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("seq_offset").cast("long").alias("sum_offsets"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_bin")
+    )
+
+
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sampling (round 5 — corpus
+    rebalancing): per-language keep decision from an md5-derived
+    uniform (repartition-invariant, no RNG state; Spark's .sample is
+    neither), pure narrow Column pipeline.  The oracle recomputes the
+    identical md5-digit arithmetic in DuckDB, so the driver verifies
+    the SAMPLED SET (per-stratum counts + doc-id checksums), not just
+    sizes."""
+    from ..operators.sampling import stratified_sample
+    from ..sources import synth
+
+    docs = synth.raw_documents(spark, sf_dir)
+    kept = stratified_sample(docs, SAMPLE_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
