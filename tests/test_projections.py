@@ -947,3 +947,75 @@ def test_lcc_cells_is_pure_codegen(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area (round 5)
+# ---------------------------------------------------------------------------
+
+def test_laea_epsg_worked_example():
+    # EPSG GN7-2 §3.5.2 worked example (ETRS89 / LAEA Europe,
+    # EPSG:3035 parameters: center 52N 10E, FE 4321000, FN 3210000;
+    # point 50N 5E): E = 3 962 799.45, N = 2 999 718.85
+    E, N = pj.laea_forward(5.0, 50.0, lat0=52.0, lon0=10.0,
+                           fe=4_321_000.0, fn=3_210_000.0)
+    assert E == pytest.approx(3962799.45, abs=0.05)
+    assert N == pytest.approx(2999718.85, abs=0.05)
+    lo, la = pj.laea_inverse(E, N, lat0=52.0, lon0=10.0,
+                             fe=4_321_000.0, fn=3_210_000.0)
+    assert lo == pytest.approx(5.0, abs=1e-9)
+    assert la == pytest.approx(50.0, abs=1e-9)
+    # projection center maps to the false origin exactly
+    E0, N0 = pj.laea_forward(10.0, 52.0, lat0=52.0, lon0=10.0,
+                             fe=4_321_000.0, fn=3_210_000.0)
+    assert E0 == pytest.approx(4_321_000.0, abs=1e-6)
+    assert N0 == pytest.approx(3_210_000.0, abs=1e-6)
+
+
+def test_laea_equal_area_and_roundtrip():
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def area_ratio(lon, lat, d=1e-3):
+        x0, y0 = pj.laea_forward(lon, lat, lat0=52.0, lon0=10.0)
+        x1, y1 = pj.laea_forward(lon + d, lat, lat0=52.0, lon0=10.0)
+        x2, y2 = pj.laea_forward(lon, lat + d, lat0=52.0, lon0=10.0)
+        proj = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        sphi = math.sin(math.radians(lat))
+        ell = (pj.A_WGS84 ** 2 * (1 - e2) * math.cos(math.radians(lat))
+               / (1 - e2 * sphi * sphi) ** 2) * math.radians(d) ** 2
+        return proj / ell
+
+    for lon, lat in [(10.0, 52.0), (5.0, 50.0), (30.0, 70.0), (-20.0, 10.0)]:
+        assert area_ratio(lon, lat) == pytest.approx(1.0, abs=5e-5)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179.9, 179.9, 4000)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    E, N = pj.laea_forward(lon, lat, lat0=52.0, lon0=10.0)
+    lo, la = pj.laea_inverse(E, N, lat0=52.0, lon0=10.0)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-8 and np.abs(la - lat).max() < 1e-8
+    # the center's antipode is not representable: NaN, like PROJ errors
+    E, N = pj.laea_forward(-170.0, -52.0, lat0=52.0, lon0=10.0)
+    assert math.isnan(float(E)) and math.isnan(float(N))
+
+
+def test_laea_registry_and_proj4():
+    fwd = pj.ANALYTIC_PROJECTIONS["EPSG:3035"][0]()
+    X, Y = fwd.transform(np.array([5.0]), np.array([50.0]))
+    assert X[0] == pytest.approx(3962799.45, abs=0.05)
+    b = pj.resolve_proj4_pair(
+        LONGLAT,
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80 +units=m +no_defs",
+    )
+    Xp, Yp = b.transform(np.array([5.0]), np.array([50.0]))
+    assert Xp[0] == X[0] and Yp[0] == Y[0]
+    binv = pj.resolve_proj4_pair(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80", LONGLAT,
+    )
+    lo, la = binv.transform(Xp, Yp)
+    assert lo[0] == pytest.approx(5.0, abs=1e-9)
+    assert la[0] == pytest.approx(50.0, abs=1e-9)
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=laea +lat_0=52 +datum=NAD83")

@@ -23,6 +23,13 @@ Working Manual* (USGS PP 1395):
                     Mercator with an accuracy of a few nanometers",
                     J. Geodesy 85 (2011); round 5, closes the
                     "most common next CRS family" gap
+- Lambert Conformal Conic 2SP (EPSG:3034 + '+proj=lcc') and Albers
+                    Equal Area (ESRI:102022 + '+proj=aea') — Snyder
+                    §15/§14 == EPSG 9802/9822, verified against the
+                    published Clarke-1866 worked examples; round 5
+- Lambert Azimuthal Equal Area (EPSG:3035 + '+proj=laea') — Snyder
+                    §24 == EPSG 9820, verified against the GN7-2
+                    ETRS89 worked example; round 5
 
 Sphere-radius convention: PROJ evaluates these spherical-only
 projections on an ellipsoidal CRS using the semi-major axis as the
@@ -657,6 +664,30 @@ def _wrap_lam(lam):
     return lam - 2.0 * np.pi * np.floor((lam + np.pi) / (2.0 * np.pi))
 
 
+def _authalic_phi(q, e):
+    """phi (radians) from authalic q — Snyder 3-16 fixed
+    AEA_PHI_ITERS-step iteration from the spherical start, shared by
+    the Albers and Lambert-azimuthal inverses.  At-or-past the pole
+    (|q| >= q(±90°)) there is no interior solution and the 1/cos
+    blow-up stalls the iteration ~0.004° short — snap to the pole
+    exactly like PROJ does."""
+    e2 = e * e
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(AEA_PHI_ITERS):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            step = (one * one) / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / one
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            phi = phi + np.where(np.isfinite(step), step, 0.0)
+    q_pole = _aea_q(np.pi / 2.0, e)
+    return np.where(np.abs(q) >= q_pole * (1.0 - 1e-13),
+                    np.sign(q) * np.pi / 2.0, phi)
+
+
 def lcc_constants(lat1: float, lat2: float, lat0: float,
                   a: float = A_WGS84, f: float = F_WGS84):
     """(e, n, F, rho0) for LCC 2SP (Snyder 15-8/15-10/15-7a); the 1SP
@@ -767,24 +798,79 @@ def albers_inverse(
     rho = sgn * np.hypot(x, y)
     th = np.arctan2(sgn * x, sgn * y)
     q = (big_c - (rho * n / a) ** 2) / n
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        for _ in range(AEA_PHI_ITERS):
-            s = np.sin(phi)
-            one = 1.0 - e2 * s * s
-            step = (one * one) / (2.0 * np.cos(phi)) * (
-                q / (1.0 - e2)
-                - s / one
-                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-            )
-            phi = phi + np.where(np.isfinite(step), step, 0.0)
-    # at-or-past the pole: |q| >= q(±90°) has no interior solution and
-    # the 1/cos blow-up stalls the iteration ~0.004° short — snap to
-    # the pole exactly like PROJ's aea does
-    q_pole = _aea_q(np.pi / 2.0, e)
-    phi = np.where(np.abs(q) >= q_pole * (1.0 - 1e-13),
-                   np.sign(q) * np.pi / 2.0, phi)
+    phi = _authalic_phi(q, e)
     lon = np.degrees(th / n) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area (EPSG method 9820) — round 5
+# ---------------------------------------------------------------------------
+# Snyder PP1395 §24 (eqs. 24-2..24-16 via authalic latitude) ==
+# EPSG GN7-2 §3.5.2; verified against the guidance note's ETRS89
+# worked example (E 3962799.45, N 2999718.85) in tests.  EPSG:3035
+# (the EU standard statistics grid) is the registered instance.
+# The antipode of the projection center is not representable (the
+# oblique-azimuthal denominator vanishes) — forward returns NaN
+# there, matching PROJ's error behavior.
+
+
+def laea_constants(lat0: float, a: float = A_WGS84, f: float = F_WGS84):
+    """(e, qp, beta0, Rq, D) per Snyder 3-12/24-20/24-19/3-11/24-18."""
+    e, e2 = _ecc(a, f)
+    qp = float(_aea_q(np.pi / 2.0, e))
+    q0 = float(_aea_q(np.radians(lat0), e))
+    beta0 = float(np.arcsin(np.clip(q0 / qp, -1.0, 1.0)))
+    rq = float(a * np.sqrt(qp / 2.0))
+    d = float(a * _conic_m(np.radians(lat0), e2) / (rq * np.cos(beta0)))
+    return e, qp, beta0, rq, d
+
+
+def laea_forward(
+    lon, lat, lat0: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """lon/lat deg -> oblique LAEA meters (Snyder 24-2..24-22)."""
+    e, qp, b0, rq, d = laea_constants(lat0, a, f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    beta = np.arcsin(np.clip(_aea_q(phi, e) / qp, -1.0, 1.0))
+    denom = (1.0 + np.sin(b0) * np.sin(beta)
+             + np.cos(b0) * np.cos(beta) * np.cos(lam))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        big_b = rq * np.sqrt(2.0 / denom)
+    E = fe + big_b * d * np.cos(beta) * np.sin(lam)
+    N = fn + (big_b / d) * (np.cos(b0) * np.sin(beta)
+                            - np.sin(b0) * np.cos(beta) * np.cos(lam))
+    return E, N
+
+
+def laea_inverse(
+    E, N, lat0: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """Oblique LAEA meters -> lon/lat deg (Snyder 24-16..24-27 +
+    shared _authalic_phi iteration).  rho == 0 (the exact center) is
+    special-cased to (lon0, lat0)'s authalic image."""
+    e, qp, b0, rq, d = laea_constants(lat0, a, f)
+    x = (np.asarray(E, dtype=np.float64) - fe) / d
+    y = d * (np.asarray(N, dtype=np.float64) - fn)
+    x, y = np.broadcast_arrays(x, y)
+    rho = np.hypot(x, y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        q = qp * (np.cos(ce) * np.sin(b0)
+                  + np.where(rho > 0.0,
+                             y * np.sin(ce) * np.cos(b0) / rho, 0.0))
+        lam = np.arctan2(
+            x * np.sin(ce),
+            rho * np.cos(b0) * np.cos(ce) - y * np.sin(b0) * np.sin(ce),
+        )
+    phi = _authalic_phi(q, e)
+    lon = np.degrees(lam) + lon0
     return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
 
 
@@ -913,7 +999,7 @@ def resolve_proj4_pair(fromcrs, tocrs):
 
     name = proj.get("proj")
     if name not in _PROJ4_BACKENDS and name not in (
-        "ortho", "merc", "webmerc", "utm", "tmerc", "lcc", "aea"
+        "ortho", "merc", "webmerc", "utm", "tmerc", "lcc", "aea", "laea"
     ):
         return None
     # neither side may carry a datum shift vs WGS84 (advisor fix:
@@ -935,6 +1021,8 @@ def resolve_proj4_pair(fromcrs, tocrs):
         # and both default lat_0 = 0.  k_0 != 1 (the 1SP scale-factor
         # variant, EPSG 9801) is not implemented — loud error below.
         known = known | {"lat_0", "lat_1", "lat_2", "k", "k_0"}
+    elif name == "laea":
+        known = known | {"lat_0"}
     elif name in ("merc", "webmerc"):
         # spherical web-Mercator only.  PROJ's bare '+proj=merc' is
         # ELLIPSOIDAL (~21 km max northing difference), so plain merc
@@ -1008,6 +1096,15 @@ def resolve_proj4_pair(fromcrs, tocrs):
         )
         inv = lambda E, N: ki(  # noqa: E731
             E, N, lat1, lat2, lat0=lat0, lon0=lon0, fe=x0, fn=y0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name == "laea":
+        lat0 = float(proj.get("lat_0", 0.0))
+        fwd = lambda lon, lat: laea_forward(  # noqa: E731
+            lon, lat, lat0=lat0, lon0=lon0, fe=x0, fn=y0
+        )
+        inv = lambda E, N: laea_inverse(  # noqa: E731
+            E, N, lat0=lat0, lon0=lon0, fe=x0, fn=y0
         )
         return AnalyticProjection(fwd, inv, forward=forward)
     if name == "ortho":
@@ -1115,6 +1212,18 @@ ANALYTIC_PROJECTIONS = {
     "ESRI:102022": _pair(
         lambda lon, lat: albers_forward(lon, lat, 20.0, -23.0, lon0=25.0),
         lambda E, N: albers_inverse(E, N, 20.0, -23.0, lon0=25.0),
+    ),
+    # ETRS89-extended / LAEA Europe (the EU standard statistics grid)
+    # — published EPSG registry parameters (EPSG method 9820): center
+    # 52°N 10°E, FE 4 321 000 m, FN 3 210 000 m, GRS80; verified
+    # against the GN7-2 worked example (E 3962799.45, N 2999718.85)
+    "EPSG:3035": _pair(
+        lambda lon, lat: laea_forward(
+            lon, lat, lat0=52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0
+        ),
+        lambda E, N: laea_inverse(
+            E, N, lat0=52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0
+        ),
     ),
 }
 
