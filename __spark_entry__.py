@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_cells": _shipped(q.q_utm_cells),
         "lcc_cells": _shipped(q.q_lcc_cells),
         "sequence_packing": _shipped(q.q_sequence_packing),
+        "event_sessions": _shipped(q.q_event_sessions),
         "stratified_sample": _shipped(q.q_stratified_sample),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_cells": oracles.utm_cells(),
         "lcc_cells": oracles.lcc_cells(),
         "sequence_packing": oracles.sequence_packing(),
+        "event_sessions": oracles.event_sessions(),
         "stratified_sample": oracles.stratified_sample(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "warp_affine_checksums": oracles.warp_affine_checksums(),

@@ -232,3 +232,56 @@ def test_asof_join_random_matches_bruteforce(spark):
                      if rk_ == k and rt_ <= t]
             expect = max(cands)[1] if cands else None
             assert got[lid] == expect, (trial, lid)
+
+
+def test_sessionize_semantics(spark):
+    """Crafted timeline: gap exactly == threshold stays in session,
+    gap > threshold splits; first event always opens session 0."""
+    from datetime import datetime, timedelta
+
+    from transformio_spark.operators.temporal import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: events at 0s, 30s (==gap stays), 31s, then +61s (splits)
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(seconds=30)),
+        (3, 1, t0 + timedelta(seconds=61)),
+        (4, 1, t0 + timedelta(seconds=200)),
+        # user 2: single event
+        (5, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r.event_id: r.session_idx
+        for r in sessionize(df, gap_seconds=30, key_col="user_id").collect()
+    }
+    # 30s gap == threshold -> same session; 31s later (31 > 30) splits;
+    # 139s later splits again
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 0}
+
+
+def test_sessionize_tiebreak_and_invariance(spark):
+    from datetime import datetime
+
+    from transformio_spark.operators.temporal import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    # identical timestamps: tiebreak on event_id keeps numbering
+    # deterministic
+    rows = [(i, 7, t0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    a = sorted(
+        (r.event_id, r.session_idx)
+        for r in sessionize(df, 60).collect()
+    )
+    b = sorted(
+        (r.event_id, r.session_idx)
+        for r in sessionize(df.repartition(5), 60).collect()
+    )
+    assert a == b
+    assert all(s == 0 for _, s in a)  # zero gaps -> one session
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, 0)

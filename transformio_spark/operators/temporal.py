@@ -178,3 +178,51 @@ def asof_join_backward_salted(
         .where(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (round 5): consecutive events of the
+    same key belong to one session while the inter-event gap stays
+    <= ``gap_seconds``; a larger gap starts a new session.  Adds
+    ``session_idx`` (0-based per key, in time order) — the classic
+    clickstream/telemetry primitive.
+
+    Scale shape: ONE shuffle on ``key_col``, then two window passes
+    over each key's sorted run (lag -> boundary flag, running sum ->
+    session index) — linear per partition, no state beyond the frame,
+    the same single-shuffle profile as ``asof_join_backward`` (and the
+    same hot-key caveat; the ts-bucket salting there applies).  The
+    boundary rule is pure Column arithmetic, so the identical
+    semantics replay as two SQL window functions in the DuckDB oracle,
+    and the streaming twin (applyInPandasWithState with a
+    last-event-ts state value) shares the same gap predicate.
+
+    ``tiebreak_col`` must make (key, ts, tiebreak) unique — ordering
+    (and therefore session numbering) is deterministic."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # integer-microsecond gap (unix_micros) so the boundary decision
+    # is exact and engine-portable (a double seconds difference could
+    # round differently across engines at the threshold); first event
+    # of a key has no predecessor -> new session
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > F.lit(gap_us)), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        (F.sum(new_session).over(
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.lit(1)).cast("long"),
+    )

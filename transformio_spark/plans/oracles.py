@@ -377,6 +377,46 @@ ORDER BY 1, 2
 """
 
 
+def event_sessions() -> str:
+    """SQL twin of q_event_sessions: identical lag -> gap flag ->
+    running sum -> two-level aggregate, microsecond-integer gap
+    compare (epoch_us)."""
+    from .queries import SESSION_GAP_S
+
+    gap_us = int(SESSION_GAP_S) * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS session_idx
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       cast(sum(n_ev) as bigint) AS n_events,
+       cast(max(n_ev) as bigint) AS max_session_events,
+       cast(sum(dur_us) as bigint) AS sum_duration_us
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def sequence_packing() -> str:
     """SQL twin of q_sequence_packing: ONE sequential global window
     computes every document's token_start; agreement with the

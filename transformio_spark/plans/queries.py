@@ -1101,6 +1101,42 @@ def q_lcc_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+#: sessionization gate gap (shared with the oracle)
+SESSION_GAP_S = 1800
+
+
+def q_event_sessions(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (round 5 — clickstream/telemetry
+    primitive Spark lacks as a batch API): events of a user belong to
+    one session while consecutive gaps stay <= 30 min
+    (operators/temporal.sessionize — ONE shuffle on user_id, two
+    window passes over each sorted run; integer-microsecond boundary
+    decision so the session numbering is engine-exact).  The DuckDB
+    oracle replays the identical lag -> boundary-flag -> running-sum
+    pipeline as SQL window functions.  Observables: per-user session
+    count, event count, largest-session size, and summed session
+    duration (whole µs)."""
+    from ..operators.temporal import sessionize
+    from ..streaming.stream import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize(ev, gap_seconds=SESSION_GAP_S)
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("dur_us").cast("long").alias("sum_duration_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 #: packing gate parameters (shared with the oracle)
 PACK_CAPACITY = 512
 #: stratified-sample gate rates (shared with the oracle)
