@@ -431,8 +431,11 @@ def test_mercator_unknown_pair_requires_pyproj():
         pytest.skip("pyproj installed; fallback path not reachable")
     except ImportError:
         pass
+    # EPSG:2154 (RGF93 / Lambert-93) is a datum-shifted national grid
+    # no analytic backend registers — round 5 made EPSG:326xx (UTM)
+    # analytic, so the former 32633 example no longer falls through
     with pytest.raises(ImportError):
-        k.MapProjection("EPSG:4326", "EPSG:32633")
+        k.MapProjection("EPSG:4326", "EPSG:2154")
 
 
 def test_pyproj_axis_order_matches_analytic_backend():
