@@ -142,3 +142,52 @@ def test_streaming_event_window_counts_equals_batch(spark, sf_dir):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) > 10
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming twin (applyInPandasWithState) assigns
+    the SAME session indexes as the batch window operator — including
+    sessions continuing across micro-batch boundaries (events staged
+    as two time-ordered batches, two availableNow runs over one
+    checkpoint)."""
+    import os
+
+    from transformio_spark.operators.temporal import sessionize
+    from transformio_spark.streaming import streaming_sessionize
+    from transformio_spark.streaming.stream import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    gap = 1800
+    expected = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize(ev, gap_seconds=gap).collect()
+    }
+
+    # stage two time-halves (per-key in-order across batches)
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    d = str(tmp_path / "ev_stream")
+    ckpt = str(tmp_path / "ckpt_sess")
+    ev.where(F.unix_micros("ts") <= cut).write.parquet(os.path.join(d, "b0"))
+
+    collected = {}
+
+    def run_once():
+        def sink(df, _epoch):
+            for r in df.collect():
+                collected[(r.user_id, r.event_id)] = r.session_idx
+
+        out = streaming_sessionize(spark, d + "/*", EVENTS_SCHEMA, gap)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    ev.where(F.unix_micros("ts") > cut).write.parquet(os.path.join(d, "b1"))
+    run_once()
+
+    assert collected == expected

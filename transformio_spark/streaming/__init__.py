@@ -1,1 +1,5 @@
-from .stream import streaming_exact_dedup, streaming_tile_counts  # noqa: F401
+from .stream import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_sessionize,
+    streaming_tile_counts,
+)

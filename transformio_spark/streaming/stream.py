@@ -160,3 +160,63 @@ def streaming_exact_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization — the streaming twin of
+    operators/temporal.sessionize, sharing its integer-microsecond
+    boundary rule (round 5).
+
+    Per-key state is just ``(last_ts_us, session_idx)``; each
+    micro-batch sorts its rows by (ts, tiebreak), continues the
+    numbering from state, and emits (key, tiebreak, session_idx) per
+    event.  Requires per-key in-order arrival ACROSS micro-batches
+    (the standard caveat for running-state sessionization; late
+    events would need a watermark + buffer stage).  Within a batch,
+    order is restored by the sort.  At scale the state store shards
+    by key hash across executors — two longs per live key, no driver
+    state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    sel = stream.select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+
+    def update(key, pdfs, state):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "tb"], ignore_index=True)
+        last_us, idx = state.get if state.exists else (None, -1)
+        out_idx = []
+        for ts_us in batch["ts_us"]:
+            if last_us is None or ts_us - last_us > gap_us:
+                idx += 1
+            last_us = int(ts_us)
+            out_idx.append(idx)
+        state.update((last_us, idx))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(batch),
+            "event_id": batch["tb"],
+            "session_idx": out_idx,
+        })
+
+    return sel.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, session_idx long",
+        stateStructType="last_us long, idx long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
