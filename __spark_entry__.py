@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_cells": _shipped(q.q_lcc_cells),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
+        "decontamination": _shipped(q.q_decontamination),
+        "repetition_scores": _shipped(q.q_repetition_scores),
         "stratified_sample": _shipped(q.q_stratified_sample),
         "projective_transform": _shipped(q.q_projective_transform),
         "tin_transform": _shipped(q.q_tin_transform),
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "lcc_cells": oracles.lcc_cells(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
+        "decontamination": oracles.decontamination(),
+        "repetition_scores": oracles.repetition_scores(),
         "stratified_sample": oracles.stratified_sample(),
         "poly_roundtrip": oracles.poly_roundtrip(),
         "warp_affine_checksums": oracles.warp_affine_checksums(),

@@ -57,6 +57,8 @@ EXTRA = [
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows
+    "decontamination",        # benchmark n-gram overlap, broadcast join
+    "repetition_scores",      # repeated-ngram quality signal, pure Column
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

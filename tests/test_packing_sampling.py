@@ -158,3 +158,55 @@ def test_pack_plan_has_no_global_window(spark):
     # a global window would show 'Window [...] , [_we' with no
     # partition spec; ours always carries the _range_id partition
     assert "_range_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination + repetition (round 5)
+# ---------------------------------------------------------------------------
+
+def test_ngram_overlap_semantics_and_plan(spark):
+    from transformio_spark.operators.decontam import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # shares 'the quick brown'
+            (2, "entirely different words here now"),
+            (3, "quick brown fox of doom"),          # shares 'quick brown fox'
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_overlap for r in ngram_overlap(docs, ev, 3).collect()}
+    # doc 1 shares trigrams 'the quick brown' + 'quick brown fox';
+    # doc 3 shares 'quick brown fox'; doc 2 is clean (absent)
+    assert out == {1: 2, 3: 1}
+    plan = (
+        ngram_overlap(docs, ev, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_repetition_ratio_values(spark):
+    from transformio_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct -> 4/7
+            (2, "all words unique in this text"),
+            (3, "x y"),                 # shorter than n -> ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.rep
+        for r in df.select(
+            "doc_id", repetition_ratio(F.col("text"), 3).alias("rep")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1.0 - 3.0 / 7.0)
+    assert out[2] == 0.0
+    assert out[3] == 0.0

@@ -203,3 +203,29 @@ def lang_id_sql(text: str) -> str:
         expr_lang = f"(case when {s} > ({expr_score}) then '{lang}' else {expr_lang} end)"
         expr_score = f"(case when {s} > ({expr_score}) then {s} else {expr_score} end)"
     return expr_lang
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Repeated word-n-gram fraction (round 5) — the Gopher-style
+    repetition quality signal: 1 - distinct/total n-grams, 0 for
+    texts too short to form more than one n-gram.  Pure Column (the
+    n-gram builder is shared with the dedup operators)."""
+    from ..operators.dedup import word_ngrams
+
+    words = F.split(text, r"\s+")
+    total = F.greatest(F.size(words) - (n - 1), F.lit(1)).cast("double")
+    distinct = F.size(word_ngrams(text, n)).cast("double")
+    return F.lit(1.0) - distinct / total
+
+
+def repetition_ratio_sql(text: str, n: int = 3) -> str:
+    """DuckDB twin of repetition_ratio: same split, same n-gram join,
+    same greatest/1 floor (fragment shared in spirit with the
+    ngram_jaccard_pairs oracle)."""
+    w = f"string_split_regex({text}, '\\s+')"
+    total = f"greatest(len({w}) - {n - 1}, 1)"
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(len({w})-{n - 1},1)+1), "
+        f"i -> array_to_string(list_slice({w}, i, i+{n - 1}), ' ')))"
+    )
+    return f"(1.0 - cast(len({grams}) as double) / {total})"

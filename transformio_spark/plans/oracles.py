@@ -377,6 +377,44 @@ ORDER BY 1, 2
 """
 
 
+def decontamination() -> str:
+    """SQL twin of q_decontamination: same word-trigram shingling
+    fragment as the ngram_jaccard oracle, same distinct-set join."""
+    return """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-2,1)+1),
+          i -> array_to_string(list_slice(w, i, i+2), ' '))) AS s
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+        FROM documents)
+),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 41 != 0)
+SELECT doc_id, cast(count(*) as bigint) AS n_overlap
+FROM dg JOIN ev USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def repetition_scores() -> str:
+    """SQL twin of q_repetition_scores (functions/text.
+    repetition_ratio_sql — same formula both engines)."""
+    from ..functions.text import repetition_ratio_sql
+
+    rep = repetition_ratio_sql("text", 3)
+    return f"""
+WITH t AS (SELECT lang, {rep} AS rep FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(round(avg(rep) * 1000000e0) as bigint) AS avg_rep_e6,
+       cast(round(max(rep) * 1000000e0) as bigint) AS max_rep_e6,
+       cast(sum(case when rep > 0.2 then 1 else 0 end) as bigint) AS n_repetitive
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def event_sessions() -> str:
     """SQL twin of q_event_sessions: identical lag -> gap flag ->
     running sum -> two-level aggregate, microsecond-integer gap

@@ -1101,6 +1101,53 @@ def q_lcc_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_decontamination(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (round 5 — the standard pre-training
+    pass): documents sharing any word trigram with the deterministic
+    'benchmark' subset (doc_id % 41 == 0) are flagged with their
+    distinct-overlap count (operators/decontam.ngram_overlap —
+    eval n-gram set broadcast, corpus side explode + broadcast hash
+    join, zero corpus-sized shuffles before the per-doc count).  The
+    DuckDB oracle replays the same shingling (the ngram_jaccard
+    fragment) and join."""
+    from ..operators.decontam import ngram_overlap
+    from ..sources import synth
+
+    docs = synth.raw_documents(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    corpus = docs.where(F.col("doc_id") % 41 != 0)
+    return (
+        ngram_overlap(corpus, ev, n=3)
+        .orderBy("doc_id")
+        .select("doc_id", "n_overlap")
+    )
+
+
+def q_repetition_scores(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality signal (round 5): repeated
+    word-trigram fraction per document, aggregated per language —
+    pure Column arithmetic over the shared n-gram builder, identical
+    formula in the DuckDB twin."""
+    from ..functions.text import repetition_ratio
+    from ..sources import synth
+
+    docs = synth.raw_documents(spark, sf_dir).withColumn(
+        "rep", repetition_ratio(F.col("text"), 3)
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep") * 1e6, 0).cast("long").alias("avg_rep_e6"),
+            F.round(F.max("rep") * 1e6, 0).cast("long").alias("max_rep_e6"),
+            F.sum(
+                F.when(F.col("rep") > 0.2, 1).otherwise(0)
+            ).cast("long").alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: sessionization gate gap (shared with the oracle)
 SESSION_GAP_S = 1800
 
