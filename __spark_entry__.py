@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robinson_cells": _shipped(q.q_robinson_cells),
         "utm_cells": _shipped(q.q_utm_cells),
         "lcc_cells": _shipped(q.q_lcc_cells),
+        "laea_cells": _shipped(q.q_laea_cells),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "robinson_cells": oracles.robinson_cells(),
         "utm_cells": oracles.utm_cells(),
         "lcc_cells": oracles.lcc_cells(),
+        "laea_cells": oracles.laea_cells(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

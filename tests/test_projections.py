@@ -1019,3 +1019,187 @@ def test_laea_registry_and_proj4():
     assert la[0] == pytest.approx(50.0, abs=1e-9)
     with pytest.raises(ValueError, match="datum"):
         pj.resolve_proj4_pair(LONGLAT, "+proj=laea +lat_0=52 +datum=NAD83")
+
+
+def test_laea_sql_twin_matches_kernel(spark):
+    """The shared expression text (geo.laea_forward_sql) run by BOTH
+    engines agrees with the numpy kernel to < 1e-6 m."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    lon = np.linspace(-179.0, 179.0, 41)
+    lat = np.linspace(-85.0, 85.0, 41)
+    kx, ky = pj.laea_forward(lon, lat, lat0=52.0, lon0=10.0,
+                             fe=4_321_000.0, fn=3_210_000.0)
+    mx, my = geo.laea_forward_sql("lon", "lat", 52.0, lon0=10.0,
+                                  fe=4_321_000.0, fn=3_210_000.0)
+    pts = pd.DataFrame({"lon": lon, "lat": lat})
+    con = duckdb.connect()
+    con.register("pts", pts)
+    d = con.sql(f"SELECT {mx} AS x, {my} AS y FROM pts").df()
+    np.testing.assert_allclose(d.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(d.y.values, ky, atol=1e-6)
+    pdf = (
+        spark.createDataFrame(pts)
+        .select(F.expr(mx).alias("x"), F.expr(my).alias("y"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+
+
+def test_laea_cells_is_pure_codegen(spark, sf_dir):
+    from transformio_spark.plans import queries as q
+
+    plan = (
+        q.q_laea_cells(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cylindrical equal-area (EASE-Grid 2.0), sinusoidal, azimuthal
+# equidistant (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_cea_ease_grid_anchor_and_roundtrip():
+    """EPSG:6933 anchor: the published NSIDC EASE-Grid 2.0 global map
+    half-width is 17 367 530.445161 m (a * k0 * pi with standard
+    parallel 30N on WGS84); the forward must reproduce it to the
+    micrometer, and the equator must be true-to-scale at 30N."""
+    E, _ = pj.cea_forward(np.array([180.0]), np.array([0.0]), lat_ts=30.0)
+    assert abs(E[0]) == pytest.approx(17367530.445161, abs=1e-5)
+    # center maps to origin exactly
+    E0, N0 = pj.cea_forward(0.0, 0.0, lat_ts=30.0)
+    assert float(E0) == 0.0 and float(N0) == 0.0
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 4000)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    E, N = pj.cea_forward(lon, lat, lat_ts=30.0)
+    lo, la = pj.cea_inverse(E, N, lat_ts=30.0)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-8 and np.abs(la - lat).max() < 1e-7
+
+
+def test_cea_equal_area_property():
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def area_ratio(lon, lat, d=1e-3):
+        x0, y0 = pj.cea_forward(lon, lat, lat_ts=30.0)
+        x1, y1 = pj.cea_forward(lon + d, lat, lat_ts=30.0)
+        x2, y2 = pj.cea_forward(lon, lat + d, lat_ts=30.0)
+        proj = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        sphi = math.sin(math.radians(lat))
+        ell = (pj.A_WGS84 ** 2 * (1 - e2) * math.cos(math.radians(lat))
+               / (1 - e2 * sphi * sphi) ** 2) * math.radians(d) ** 2
+        return proj / ell
+
+    for lon, lat in [(0.0, 0.0), (100.0, 30.0), (-60.0, 70.0), (20.0, -45.0)]:
+        assert area_ratio(lon, lat) == pytest.approx(1.0, abs=5e-5)
+
+
+def test_cea_registry_and_proj4():
+    fwd = pj.ANALYTIC_PROJECTIONS["EPSG:6933"][0]()
+    X, Y = fwd.transform(np.array([100.0]), np.array([45.0]))
+    b = pj.resolve_proj4_pair(
+        LONGLAT, "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 "
+        "+datum=WGS84 +units=m +no_defs",
+    )
+    Xp, Yp = b.transform(np.array([100.0]), np.array([45.0]))
+    assert Xp[0] == X[0] and Yp[0] == Y[0]
+    binv = pj.resolve_proj4_pair("+proj=cea +lat_ts=30 +datum=WGS84", LONGLAT)
+    lo, la = binv.transform(Xp, Yp)
+    assert lo[0] == pytest.approx(100.0, abs=1e-9)
+    assert la[0] == pytest.approx(45.0, abs=1e-7)
+    with pytest.raises(ValueError, match="k_0"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=cea +k_0=0.9")
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=cea +lat_ts=30 +datum=NAD27")
+
+
+def test_sinusoidal_meridian_arc_and_roundtrip():
+    """y on the central meridian IS the ellipsoidal meridian arc: the
+    Krüger-series value must match direct numeric quadrature of
+    a(1-e^2)/(1-e^2 sin^2 t)^{3/2} (Snyder 3-21) to sub-micrometer."""
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def arc_quad(lat_deg, n=400001):
+        t = np.linspace(0.0, math.radians(lat_deg), n)
+        integ = pj.A_WGS84 * (1 - e2) / (1 - e2 * np.sin(t) ** 2) ** 1.5
+        return float(np.trapz(integ, t))
+
+    for lat in (15.0, 30.0, 52.0, 75.0, 89.0):
+        _, N = pj.sinusoidal_forward(np.array([0.0]), np.array([lat]))
+        assert N[0] == pytest.approx(arc_quad(lat), abs=5e-6)
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179.9, 179.9, 4000)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    E, N = pj.sinusoidal_forward(lon, lat, lon0=10.0)
+    lo, la = pj.sinusoidal_inverse(E, N, lon0=10.0)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-8 and np.abs(la - lat).max() < 1e-8
+    # poles: lam indeterminate -> lon0 by convention
+    E, N = pj.sinusoidal_forward(np.array([50.0]), np.array([90.0]), lon0=10.0)
+    lo, la = pj.sinusoidal_inverse(E, N, lon0=10.0)
+    assert la[0] == pytest.approx(90.0, abs=1e-9)
+    assert lo[0] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_sinusoidal_registry_and_proj4():
+    fwd = pj.ANALYTIC_PROJECTIONS["ESRI:54008"][0]()
+    X, Y = fwd.transform(np.array([100.0]), np.array([45.0]))
+    b = pj.resolve_proj4_pair(LONGLAT, "+proj=sinu +lon_0=0 +datum=WGS84")
+    Xp, Yp = b.transform(np.array([100.0]), np.array([45.0]))
+    assert Xp[0] == X[0] and Yp[0] == Y[0]
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=sinu +ellps=intl")
+
+
+def test_aeqd_distance_and_azimuth_true():
+    """The defining properties: plane distance from the center equals
+    R * great-circle angle EXACTLY, and the plane bearing from the
+    center equals the initial great-circle azimuth."""
+    lat0, lon0 = 40.0, -75.0
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat = rng.uniform(-89.0, 89.0, 2000)
+    E, N = pj.aeqd_forward(lon, lat, lat0=lat0, lon0=lon0)
+    p0, l0 = math.radians(lat0), math.radians(lon0)
+    p, l = np.radians(lat), np.radians(lon)
+    gc = np.arccos(np.clip(
+        np.sin(p0) * np.sin(p) + np.cos(p0) * np.cos(p) * np.cos(l - l0),
+        -1.0, 1.0))
+    np.testing.assert_allclose(np.hypot(E, N), pj.R_SPHERE * gc, atol=1e-6)
+    az_plane = np.arctan2(E, N)
+    az_gc = np.arctan2(
+        np.cos(p) * np.sin(l - l0),
+        np.cos(p0) * np.sin(p) - np.sin(p0) * np.cos(p) * np.cos(l - l0))
+    daz = np.abs((az_plane - az_gc + np.pi) % (2 * np.pi) - np.pi)
+    assert daz.max() < 1e-9
+    lo, la = pj.aeqd_inverse(E, N, lat0=lat0, lon0=lon0)
+    dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-8 and np.abs(la - lat).max() < 1e-8
+    # center maps to origin, inverse of origin maps back
+    E0, N0 = pj.aeqd_forward(lon0, lat0, lat0=lat0, lon0=lon0)
+    assert float(E0) == pytest.approx(0.0, abs=1e-9)
+    assert float(N0) == pytest.approx(0.0, abs=1e-9)
+    lo0, la0 = pj.aeqd_inverse(0.0, 0.0, lat0=lat0, lon0=lon0)
+    assert float(lo0) == pytest.approx(lon0) and float(la0) == pytest.approx(lat0)
+
+
+def test_aeqd_registry_and_proj4():
+    fwd = pj.ANALYTIC_PROJECTIONS["ESRI:54032"][0]()
+    X, Y = fwd.transform(np.array([100.0]), np.array([45.0]))
+    b = pj.resolve_proj4_pair(
+        LONGLAT, "+proj=aeqd +lat_0=0 +lon_0=0 +R=6378137")
+    Xp, Yp = b.transform(np.array([100.0]), np.array([45.0]))
+    assert Xp[0] == X[0] and Yp[0] == Y[0]
+    # bare aeqd is ellipsoidal in PROJ: must refuse, not approximate
+    with pytest.raises(ValueError, match="DECLARED sphere"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=aeqd +lat_0=40 +datum=WGS84")
+    with pytest.raises(ValueError, match="datum"):
+        pj.resolve_proj4_pair(LONGLAT, "+proj=aeqd +R=6378137 +datum=NAD27")

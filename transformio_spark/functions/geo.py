@@ -448,6 +448,50 @@ UTM_FN_SQL = (
 )
 
 
+def laea_forward_sql(
+    lon: str, lat: str, lat0: float, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[str, str]:
+    """SQL twin of kernels.projections.laea_forward (oblique Lambert
+    azimuthal equal-area, Snyder §24 / EPSG 9820) — center constants
+    (qp, beta0, Rq, D) from the SAME kernel helper as literals, the
+    per-point authalic-latitude/B arithmetic identical text in both
+    dialects.  Round 5."""
+    import math
+
+    from ..kernels.projections import laea_constants
+
+    e, qp, b0, rq, d = laea_constants(lat0)
+    el, qpl = dlit_sql(float(e)), dlit_sql(qp)
+    sb0, cb0 = dlit_sql(math.sin(b0)), dlit_sql(math.cos(b0))
+    rql, dl = dlit_sql(rq), dlit_sql(d)
+    e2 = dlit_sql(float(1.0 - e * e))
+    inv2e = dlit_sql(float(1.0 / (2.0 * e)))
+    lam0 = dlit_sql(math.radians(lon0)) if lon0 else "0.0e0"
+    pi = dlit_sql(math.pi)
+    s = f"({el} * sin(radians({lat})))"
+    q = (
+        f"({e2} * (({s} / {el}) / (1.0e0 - {s} * {s}) "
+        f"- {inv2e} * ln((1.0e0 - {s}) / (1.0e0 + {s}))))"
+    )
+    beta = f"(asin(least(greatest({q} / {qpl}, -1.0e0), 1.0e0)))"
+    lam_raw = f"(radians({lon}) - {lam0})"
+    lam = (
+        f"({lam_raw} - 2 * {pi} * "
+        f"floor(({lam_raw} + {pi}) / (2 * {pi})))"
+    )
+    big_b = (
+        f"({rql} * sqrt(2.0e0 / (1.0e0 + {sb0} * sin({beta}) "
+        f"+ {cb0} * cos({beta}) * cos({lam}))))"
+    )
+    E = f"({dlit_sql(fe)} + {big_b} * {dl} * cos({beta}) * sin({lam}))"
+    N = (
+        f"({dlit_sql(fn)} + ({big_b} / {dl}) * ({cb0} * sin({beta}) "
+        f"- {sb0} * cos({beta}) * cos({lam})))"
+    )
+    return E, N
+
+
 def lcc_forward_sql(
     lon: str, lat: str, lat1: float, lat2: float, lat0: float,
     lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,

@@ -508,6 +508,29 @@ ORDER BY lang
 """
 
 
+def laea_cells() -> str:
+    """SQL twin of q_laea_cells: the SAME expression text from
+    functions/geo.laea_forward_sql (EPSG:3035 parameters); meter
+    rounding before the sums absorbs libm ulp noise."""
+    from ..functions.geo import laea_forward_sql
+
+    mx, my = laea_forward_sql(
+        "lon", "lat", 52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0
+    )
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts)
+SELECT cast(floor(mx / 1000000.0e0) as bigint) AS cell_x,
+       cast(floor(my / 1000000.0e0) as bigint) AS cell_y,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,
