@@ -875,6 +875,173 @@ def laea_inverse(
 
 
 # ---------------------------------------------------------------------------
+# Cylindrical equal-area, ellipsoidal (Snyder §10 eqs 10-7/10-8,
+# EPSG method 9835) — the NSIDC EASE-Grid 2.0 family (EPSG:6933)
+# ---------------------------------------------------------------------------
+
+
+def cea_constants(lat_ts: float, a: float = A_WGS84, f: float = F_WGS84):
+    """(e, k0) with k0 = cos(phi_ts)/sqrt(1 - e^2 sin^2 phi_ts)
+    (Snyder 10-13): the scale factor that makes the standard parallel
+    true-to-scale."""
+    e, e2 = _ecc(a, f)
+    return e, float(_conic_m(np.radians(lat_ts), e2))
+
+
+def cea_forward(
+    lon, lat, lat_ts: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """lon/lat deg -> ellipsoidal cylindrical equal-area meters
+    (Snyder 10-7: E = a k0 lam; 10-8: N = a q / (2 k0)).  Non-
+    iterative in both coordinates — the one equal-area family whose
+    forward is a single closed-form expression, which is why the
+    `ease_cells` gate query runs it as pure SQL codegen."""
+    e, k0 = cea_constants(lat_ts, a, f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    E = fe + a * k0 * lam
+    N = fn + a * _aea_q(phi, e) / (2.0 * k0)
+    return E, N
+
+
+def cea_inverse(
+    E, N, lat_ts: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
+    """Ellipsoidal CEA meters -> lon/lat deg via the shared authalic
+    iteration (Snyder 10-26 then 3-16)."""
+    e, k0 = cea_constants(lat_ts, a, f)
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    x, y = np.broadcast_arrays(x, y)
+    q = 2.0 * y * k0 / a
+    phi = _authalic_phi(q, e)
+    lon = np.degrees(x / (a * k0)) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal, ellipsoidal (Snyder §30 eqs 30-8/30-9/30-10) — the
+# MODIS / ESRI:54008 equal-area pseudocylindrical.  y is the meridian
+# arc M(phi), evaluated through the SAME Krüger rectifying-latitude
+# series the transverse-Mercator backend uses (A*xi at lam=0), so the
+# two families share one series implementation and its tests.
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_forward(
+    lon, lat, lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+):
+    """lon/lat deg -> ellipsoidal sinusoidal meters:
+    x = a lam cos(phi)/sqrt(1-e^2 sin^2 phi) (Snyder 30-8),
+    y = M(phi) via the Krüger series (meridian arc == A*xi(0, phi))."""
+    e2 = _TM_E * _TM_E
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    xi, _ = _tm_xi_eta(np.zeros_like(phi), phi)
+    E = fe + A_WGS84 * lam * _conic_m(phi, e2)
+    N = fn + _TM_A * xi
+    return E, N
+
+
+def sinusoidal_inverse(
+    E, N, lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+):
+    """Ellipsoidal sinusoidal meters -> lon/lat deg: invert the
+    rectifying latitude with the Krüger beta series at eta=0 (xi' is
+    then the conformal latitude), recover phi through the shared
+    _tm_tauf Newton solve, then lam = x / (a m(phi)).  Within float
+    roundoff of the poles m(phi) -> 0 makes lam indeterminate (the
+    whole parallel collapses to one point) — mapped to lon0, the same
+    convention as the LAEA center special case; the 1e-12 threshold is
+    ~6 nm of parallel circumference."""
+    e2 = _TM_E * _TM_E
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    x, y = np.broadcast_arrays(x, y)
+    mu = y / _TM_A
+    chi = mu
+    for j, bj in enumerate(_TM_BETA, start=1):
+        chi = chi - bj * np.sin(2.0 * j * mu)
+    phi = np.arctan(_tm_tauf(np.tan(chi)))
+    m = _conic_m(phi, e2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.where(m > 1e-12, x / (A_WGS84 * m), 0.0)
+    lon = np.degrees(lam) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal equidistant, spherical (Snyder §25 eqs 25-1..25-15) —
+# ESRI:54032 World Azimuthal Equidistant (sphere of the WGS84
+# semi-major axis, the same a-as-sphere convention as Mollweide/
+# Robinson/Van-der-Grinten above).
+# ---------------------------------------------------------------------------
+
+
+def aeqd_forward(
+    lon, lat, lat0: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0, radius: float = R_SPHERE,
+):
+    """lon/lat deg -> oblique spherical AEQD meters.  k' = c/sin(c)
+    (Snyder 25-2) with the c -> 0 limit k' = 1 taken explicitly; the
+    defining property (plane distance from center == R * great-circle
+    angle, azimuths true from center) is what the tests pin."""
+    phi0 = np.radians(lat0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
+    lam, phi = np.broadcast_arrays(lam, phi)
+    cosc = (np.sin(phi0) * np.sin(phi)
+            + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+    c = np.arccos(np.clip(cosc, -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kp = np.where(c > 0.0, c / np.sin(c), 1.0)
+    E = fe + radius * kp * np.cos(phi) * np.sin(lam)
+    N = fn + radius * kp * (np.cos(phi0) * np.sin(phi)
+                            - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    return E, N
+
+
+def aeqd_inverse(
+    E, N, lat0: float = 0.0, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0, radius: float = R_SPHERE,
+):
+    """Spherical AEQD meters -> lon/lat deg (Snyder 25-15 with
+    c = rho/R; rho == 0 special-cased to the center)."""
+    phi0 = np.radians(lat0)
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    x, y = np.broadcast_arrays(x, y)
+    rho = np.hypot(x, y)
+    c = rho / radius
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(
+            rho > 0.0,
+            np.arcsin(np.clip(
+                np.cos(c) * np.sin(phi0)
+                + y * np.sin(c) * np.cos(phi0) / np.where(rho > 0.0, rho, 1.0),
+                -1.0, 1.0,
+            )),
+            phi0,
+        )
+        lam = np.where(
+            rho > 0.0,
+            np.arctan2(
+                x * np.sin(c),
+                rho * np.cos(phi0) * np.cos(c) - y * np.sin(phi0) * np.sin(c),
+            ),
+            0.0,
+        )
+    lon = np.degrees(lam) + lon0
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # proj4 string resolution (the reference's README passes proj4
 # strings, not authority codes — README.md:139-141, 470-472)
 # ---------------------------------------------------------------------------
@@ -999,7 +1166,8 @@ def resolve_proj4_pair(fromcrs, tocrs):
 
     name = proj.get("proj")
     if name not in _PROJ4_BACKENDS and name not in (
-        "ortho", "merc", "webmerc", "utm", "tmerc", "lcc", "aea", "laea"
+        "ortho", "merc", "webmerc", "utm", "tmerc", "lcc", "aea", "laea",
+        "cea", "sinu", "aeqd",
     ):
         return None
     # neither side may carry a datum shift vs WGS84 (advisor fix:
@@ -1023,6 +1191,16 @@ def resolve_proj4_pair(fromcrs, tocrs):
         known = known | {"lat_0", "lat_1", "lat_2", "k", "k_0"}
     elif name == "laea":
         known = known | {"lat_0"}
+    elif name == "cea":
+        # ellipsoidal Lambert cylindrical equal-area (EPSG 9835);
+        # PROJ's alternative +k_0 spelling of the standard parallel is
+        # not implemented — loud error below
+        known = known | {"lat_ts", "k", "k_0"}
+    elif name == "aeqd":
+        # the analytic backend is SPHERICAL (Snyder §25); PROJ's bare
+        # '+proj=aeqd' on WGS84 is ellipsoidal (geodesic distances),
+        # so the sphere must be DECLARED — same policy as +proj=merc
+        known = known | {"lat_0", "a", "b"}
     elif name in ("merc", "webmerc"):
         # spherical web-Mercator only.  PROJ's bare '+proj=merc' is
         # ELLIPSOIDAL (~21 km max northing difference), so plain merc
@@ -1104,6 +1282,49 @@ def resolve_proj4_pair(fromcrs, tocrs):
             lon, lat, lat0=lat0, lon0=lon0, fe=x0, fn=y0
         )
         inv = lambda E, N: laea_inverse(  # noqa: E731
+            E, N, lat0=lat0, lon0=lon0, fe=x0, fn=y0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name == "cea":
+        if float(proj.get("k", proj.get("k_0", 1.0))) != 1.0:
+            raise ValueError(
+                "+proj=cea with k_0 != 1 (the direct-scale spelling of "
+                "the standard parallel) is not implemented analytically "
+                "(use +lat_ts, or install pyproj)"
+            )
+        lat_ts = float(proj.get("lat_ts", 0.0))
+        fwd = lambda lon, lat: cea_forward(  # noqa: E731
+            lon, lat, lat_ts=lat_ts, lon0=lon0, fe=x0, fn=y0
+        )
+        inv = lambda E, N: cea_inverse(  # noqa: E731
+            E, N, lat_ts=lat_ts, lon0=lon0, fe=x0, fn=y0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name == "sinu":
+        fwd = lambda lon, lat: sinusoidal_forward(  # noqa: E731
+            lon, lat, lon0=lon0, fe=x0, fn=y0
+        )
+        inv = lambda E, N: sinusoidal_inverse(  # noqa: E731
+            E, N, lon0=lon0, fe=x0, fn=y0
+        )
+        return AnalyticProjection(fwd, inv, forward=forward)
+    if name == "aeqd":
+        declared_sphere = (
+            "r" in proj
+            or ("a" in proj and "b" in proj and proj["a"] == proj["b"])
+        )
+        if not declared_sphere or float(proj.get("a", A_WGS84)) != A_WGS84:
+            raise ValueError(
+                "+proj=aeqd supported analytically only as the DECLARED "
+                "sphere of the WGS84 semi-major axis (+R=6378137 or "
+                "+a=6378137 +b=6378137); bare '+proj=aeqd' is ellipsoidal "
+                "(geodesic) in PROJ — install pyproj for that"
+            )
+        lat0 = float(proj.get("lat_0", 0.0))
+        fwd = lambda lon, lat: aeqd_forward(  # noqa: E731
+            lon, lat, lat0=lat0, lon0=lon0, fe=x0, fn=y0
+        )
+        inv = lambda E, N: aeqd_inverse(  # noqa: E731
             E, N, lat0=lat0, lon0=lon0, fe=x0, fn=y0
         )
         return AnalyticProjection(fwd, inv, forward=forward)
@@ -1225,6 +1446,21 @@ ANALYTIC_PROJECTIONS = {
             E, N, lat0=52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0
         ),
     ),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global — published EPSG registry
+    # parameters (Lambert cylindrical equal area, EPSG method 9835):
+    # standard parallel 30°N, lon0 = 0, FE = FN = 0, WGS84.  The
+    # equal-area grid NSIDC publishes satellite products on.
+    "EPSG:6933": _pair(
+        lambda lon, lat: cea_forward(lon, lat, lat_ts=30.0),
+        lambda E, N: cea_inverse(E, N, lat_ts=30.0),
+    ),
+    # World Sinusoidal — ESRI registry parameters on WGS84 (the MODIS
+    # land-grid family uses the same formulas on a sphere)
+    "ESRI:54008": _pair(sinusoidal_forward, sinusoidal_inverse),
+    # World Azimuthal Equidistant — sphere of the WGS84 semi-major
+    # axis (a-as-sphere, like the other ESRI:540xx world projections
+    # above), centered on (0°, 0°)
+    "ESRI:54032": _pair(aeqd_forward, aeqd_inverse),
 }
 
 
