@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_cells": _shipped(q.q_utm_cells),
         "lcc_cells": _shipped(q.q_lcc_cells),
         "laea_cells": _shipped(q.q_laea_cells),
+        "ease_cells": _shipped(q.q_ease_cells),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_cells": oracles.utm_cells(),
         "lcc_cells": oracles.lcc_cells(),
         "laea_cells": oracles.laea_cells(),
+        "ease_cells": oracles.ease_cells(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

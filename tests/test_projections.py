@@ -1203,3 +1203,40 @@ def test_aeqd_registry_and_proj4():
         pj.resolve_proj4_pair(LONGLAT, "+proj=aeqd +lat_0=40 +datum=WGS84")
     with pytest.raises(ValueError, match="datum"):
         pj.resolve_proj4_pair(LONGLAT, "+proj=aeqd +R=6378137 +datum=NAD27")
+
+
+def test_cea_sql_twin_matches_kernel(spark):
+    """The shared expression text (geo.cea_forward_sql) run by BOTH
+    engines agrees with the numpy kernel to < 1e-6 m."""
+    import duckdb
+    import pandas as pd
+
+    from transformio_spark.functions import geo
+
+    lon = np.linspace(-179.0, 179.0, 41)
+    lat = np.linspace(-85.0, 85.0, 41)
+    kx, ky = pj.cea_forward(lon, lat, lat_ts=30.0)
+    mx, my = geo.cea_forward_sql("lon", "lat", 30.0)
+    pts = pd.DataFrame({"lon": lon, "lat": lat})
+    con = duckdb.connect()
+    con.register("pts", pts)
+    d = con.sql(f"SELECT {mx} AS x, {my} AS y FROM pts").df()
+    np.testing.assert_allclose(d.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(d.y.values, ky, atol=1e-6)
+    pdf = (
+        spark.createDataFrame(pts)
+        .select(F.expr(mx).alias("x"), F.expr(my).alias("y"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(pdf.x.values, kx, atol=1e-6)
+    np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
+
+
+def test_ease_cells_is_pure_codegen(spark, sf_dir):
+    from transformio_spark.plans import queries as q
+
+    plan = (
+        q.q_ease_cells(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan

@@ -492,6 +492,44 @@ def laea_forward_sql(
     return E, N
 
 
+def cea_forward_sql(
+    lon: str, lat: str, lat_ts: float, lon0: float = 0.0,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[str, str]:
+    """SQL twin of kernels.projections.cea_forward (ellipsoidal
+    Lambert cylindrical equal-area, Snyder §10 / EPSG 9835 — the
+    EASE-Grid 2.0 family).  Both coordinates are CLOSED FORM (the only
+    equal-area family with a non-iterative forward): E = a k0 lam,
+    N = a q / (2 k0), with (e, k0) from the SAME kernel helper as
+    literals and the authalic-q arithmetic the identical text in both
+    dialects.  Round 5."""
+    import math
+
+    from ..kernels.projections import A_WGS84, cea_constants
+
+    e, k0 = cea_constants(lat_ts)
+    el = dlit_sql(float(e))
+    e2 = dlit_sql(float(1.0 - e * e))
+    inv2e = dlit_sql(float(1.0 / (2.0 * e)))
+    ak0 = dlit_sql(A_WGS84 * k0)
+    a_2k0 = dlit_sql(A_WGS84 / (2.0 * k0))
+    lam0 = dlit_sql(math.radians(lon0)) if lon0 else "0.0e0"
+    pi = dlit_sql(math.pi)
+    s = f"({el} * sin(radians({lat})))"
+    q = (
+        f"({e2} * (({s} / {el}) / (1.0e0 - {s} * {s}) "
+        f"- {inv2e} * ln((1.0e0 - {s}) / (1.0e0 + {s}))))"
+    )
+    lam_raw = f"(radians({lon}) - {lam0})"
+    lam = (
+        f"({lam_raw} - 2 * {pi} * "
+        f"floor(({lam_raw} + {pi}) / (2 * {pi})))"
+    )
+    E = f"({dlit_sql(fe)} + {ak0} * {lam})"
+    N = f"({dlit_sql(fn)} + {a_2k0} * {q})"
+    return E, N
+
+
 def lcc_forward_sql(
     lon: str, lat: str, lat1: float, lat2: float, lat0: float,
     lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,

@@ -531,6 +531,27 @@ ORDER BY 1, 2
 """
 
 
+def ease_cells() -> str:
+    """SQL twin of q_ease_cells: the SAME expression text from
+    functions/geo.cea_forward_sql (EPSG:6933 parameters); meter
+    rounding before the sums absorbs libm ulp noise."""
+    from ..functions.geo import cea_forward_sql
+
+    mx, my = cea_forward_sql("lon", "lat", 30.0)
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts)
+SELECT cast(floor(mx / 1000000.0e0) as bigint) AS cell_x,
+       cast(floor(my / 1000000.0e0) as bigint) AS cell_y,
+       count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

@@ -1282,6 +1282,39 @@ def q_laea_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ease_cells(spark, sf_dir) -> DataFrame:
+    """EASE-Grid 2.0 cell assignment (round 5 — SURVEY op 14's
+    equal-area-grid leg; EPSG:6933, the NSIDC satellite-product grid):
+    every extracted point projected by the ellipsoidal cylindrical
+    equal-area forward (Snyder §10 / EPSG 9835) — closed form in BOTH
+    coordinates, so the whole projection is ONE shared SQL text
+    (functions/geo.cea_forward_sql) run as F.expr here and verbatim in
+    the DuckDB oracle.  Pure whole-stage codegen, no shuffle before
+    the cell aggregate; 1000-km cells + meter-rounded sums."""
+    from ..functions.geo import cea_forward_sql
+
+    mx_sql, my_sql = cea_forward_sql("lon", "lat", 30.0)
+    cell = 1_000_000.0
+    out = points_df(spark, sf_dir).withColumns(
+        {"mx": F.expr(mx_sql), "my": F.expr(my_sql)}
+    )
+    return (
+        out.select(
+            F.floor(F.col("mx") / cell).alias("cell_x"),
+            F.floor(F.col("my") / cell).alias("cell_y"),
+            F.round(F.col("mx"), 0).cast("long").alias("mx_m"),
+            F.round(F.col("my"), 0).cast("long").alias("my_m"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("mx_m").alias("sum_mx_m"),
+            F.sum("my_m").alias("sum_my_m"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
