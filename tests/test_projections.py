@@ -1240,3 +1240,52 @@ def test_ease_cells_is_pure_codegen(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_laea_polar_aspect_ease_north_south():
+    """EPSG:6931/6932 (EASE-Grid 2.0 North/South): the polar LAEA
+    branch.  Pinned properties: the pole maps to the origin exactly;
+    rho(phi) == a*sqrt(qp -+ q) (Snyder 24-23); equal-area holds; the
+    roundtrip closes; and north/south are mirror images."""
+    E, N = pj.laea_forward(np.array([37.0]), np.array([90.0]), lat0=90.0)
+    assert float(E) == 0.0 and float(N) == 0.0
+    e, _ = pj._ecc(pj.A_WGS84, pj.F_WGS84)
+    qp = pj._aea_q(np.pi / 2.0, e)
+    for lat in (0.0, 30.0, 60.0, 89.0):
+        E, N = pj.laea_forward(np.array([0.0]), np.array([lat]), lat0=90.0)
+        rho = pj.A_WGS84 * math.sqrt(qp - pj._aea_q(math.radians(lat), e))
+        assert float(np.hypot(E, N)) == pytest.approx(rho, abs=1e-6)
+        assert float(N) == pytest.approx(-rho, abs=1e-6)  # due south of pole
+        Es, Ns = pj.laea_forward(np.array([0.0]), np.array([-lat]), lat0=-90.0)
+        assert float(Es) == pytest.approx(float(E), abs=1e-6)
+        assert float(Ns) == pytest.approx(-float(N), abs=1e-6)
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-179.9, 179.9, 3000)
+    for lat0, lo_, hi_ in ((90.0, -10.0, 89.9), (-90.0, -89.9, 10.0)):
+        lat = rng.uniform(lo_, hi_, 3000)
+        E, N = pj.laea_forward(lon, lat, lat0=lat0)
+        lo, la = pj.laea_inverse(E, N, lat0=lat0)
+        dlon = np.abs((lo - lon + 180.0) % 360.0 - 180.0)
+        assert dlon.max() < 1e-8 and np.abs(la - lat).max() < 1e-8
+    # registry + proj4 polar laea resolve to the same backend
+    fwd = pj.ANALYTIC_PROJECTIONS["EPSG:6931"][0]()
+    X, Y = fwd.transform(np.array([45.0]), np.array([70.0]))
+    b = pj.resolve_proj4_pair(
+        LONGLAT, "+proj=laea +lat_0=90 +lon_0=0 +datum=WGS84")
+    Xp, Yp = b.transform(np.array([45.0]), np.array([70.0]))
+    assert Xp[0] == X[0] and Yp[0] == Y[0]
+    # equal-area property on both polar aspects
+    e2 = pj.F_WGS84 * (2.0 - pj.F_WGS84)
+
+    def area_ratio(lon_, lat_, lat0, d=1e-3):
+        x0, y0 = pj.laea_forward(lon_, lat_, lat0=lat0)
+        x1, y1 = pj.laea_forward(lon_ + d, lat_, lat0=lat0)
+        x2, y2 = pj.laea_forward(lon_, lat_ + d, lat0=lat0)
+        proj = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        sphi = math.sin(math.radians(lat_))
+        ell = (pj.A_WGS84 ** 2 * (1 - e2) * math.cos(math.radians(lat_))
+               / (1 - e2 * sphi * sphi) ** 2) * math.radians(d) ** 2
+        return proj / ell
+
+    assert area_ratio(10.0, 60.0, 90.0) == pytest.approx(1.0, abs=5e-5)
+    assert area_ratio(-120.0, -45.0, -90.0) == pytest.approx(1.0, abs=5e-5)

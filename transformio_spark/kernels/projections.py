@@ -831,11 +831,22 @@ def laea_forward(
     fe: float = 0.0, fn: float = 0.0,
     a: float = A_WGS84, f: float = F_WGS84,
 ):
-    """lon/lat deg -> oblique LAEA meters (Snyder 24-2..24-22)."""
+    """lon/lat deg -> oblique LAEA meters (Snyder 24-2..24-22), or the
+    polar aspect (Snyder 24-23/24-24: rho = a sqrt(qp -+ q)) when lat0
+    is exactly ±90 — the oblique formulas' D constant divides by
+    cos(beta0) = 0 there.  The polar branch is what the EASE-Grid 2.0
+    North/South codes (EPSG:6931/6932) use."""
     e, qp, b0, rq, d = laea_constants(lat0, a, f)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = _wrap_lam(np.radians(np.asarray(lon, dtype=np.float64) - lon0))
     lam, phi = np.broadcast_arrays(lam, phi)
+    if abs(lat0) == 90.0:
+        sgn = 1.0 if lat0 > 0 else -1.0
+        q = _aea_q(phi, e)
+        rho = a * np.sqrt(np.maximum(qp - sgn * q, 0.0))
+        E = fe + rho * np.sin(lam)
+        N = fn - sgn * rho * np.cos(lam)
+        return E, N
     beta = np.arcsin(np.clip(_aea_q(phi, e) / qp, -1.0, 1.0))
     denom = (1.0 + np.sin(b0) * np.sin(beta)
              + np.cos(b0) * np.cos(beta) * np.cos(lam))
@@ -854,7 +865,23 @@ def laea_inverse(
 ):
     """Oblique LAEA meters -> lon/lat deg (Snyder 24-16..24-27 +
     shared _authalic_phi iteration).  rho == 0 (the exact center) is
-    special-cased to (lon0, lat0)'s authalic image."""
+    special-cased to (lon0, lat0)'s authalic image.  lat0 = ±90 takes
+    the polar branch (Snyder 24-29/24-31): q = ±(qp - rho^2/a^2),
+    lam = atan2(x, -+y)."""
+    if abs(lat0) == 90.0:
+        e, _ = _ecc(a, f)
+        qp = float(_aea_q(np.pi / 2.0, e))
+        sgn = 1.0 if lat0 > 0 else -1.0
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        x, y = np.broadcast_arrays(x, y)
+        rho2 = x * x + y * y
+        q = sgn * (qp - rho2 / (a * a))
+        phi = _authalic_phi(q, e)
+        lam = np.where(rho2 > 0.0, np.arctan2(x, -sgn * y), 0.0)
+        lon = np.degrees(lam) + lon0
+        return (lon - 360.0 * np.floor((lon + 180.0) / 360.0),
+                np.degrees(phi))
     e, qp, b0, rq, d = laea_constants(lat0, a, f)
     x = (np.asarray(E, dtype=np.float64) - fe) / d
     y = d * (np.asarray(N, dtype=np.float64) - fn)
@@ -1445,6 +1472,17 @@ ANALYTIC_PROJECTIONS = {
         lambda E, N: laea_inverse(
             E, N, lat0=52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0
         ),
+    ),
+    # WGS 84 / NSIDC EASE-Grid 2.0 North & South — published EPSG
+    # registry parameters (Lambert azimuthal equal area, polar
+    # aspects): center (±90°, 0°), FE = FN = 0, WGS84
+    "EPSG:6931": _pair(
+        lambda lon, lat: laea_forward(lon, lat, lat0=90.0),
+        lambda E, N: laea_inverse(E, N, lat0=90.0),
+    ),
+    "EPSG:6932": _pair(
+        lambda lon, lat: laea_forward(lon, lat, lat0=-90.0),
+        lambda E, N: laea_inverse(E, N, lat0=-90.0),
     ),
     # WGS 84 / NSIDC EASE-Grid 2.0 Global — published EPSG registry
     # parameters (Lambert cylindrical equal area, EPSG method 9835):
