@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_cells": _shipped(q.q_lcc_cells),
         "laea_cells": _shipped(q.q_laea_cells),
         "ease_cells": _shipped(q.q_ease_cells),
+        "zonal_stats": _shipped(q.q_zonal_stats),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "lcc_cells": oracles.lcc_cells(),
         "laea_cells": oracles.laea_cells(),
         "ease_cells": oracles.ease_cells(),
+        "zonal_stats": oracles.zonal_stats(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

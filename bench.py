@@ -56,6 +56,7 @@ EXTRA = [
     "lcc_cells",              # Lambert conformal conic 2SP, F.expr codegen
     "laea_cells",             # Lambert azimuthal equal-area, F.expr codegen
     "ease_cells",             # EASE-Grid 2.0 cylindrical equal-area, F.expr codegen
+    "zonal_stats",            # per-region raster band sums, broadcast prune + JVM fold
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

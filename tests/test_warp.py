@@ -237,3 +237,64 @@ def test_tiled_warp_crop_matches_full_bounds_kernel(spark):
     assembled = raster.tiles_to_image(out_tiles.collect(), 96, 96)
     assert a6 == pytest.approx(affine)
     assert_array_equal(assembled, full)
+
+
+def test_zonal_stats_matches_numpy_ground_truth(spark):
+    """zonal_stats from real tile bytes == direct numpy aggregation
+    of the same image under the same pixel-center assignment; regions
+    tile the domain, so pixel counts conserve exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from transformio_spark.operators import raster
+    from transformio_spark.plans.queries import (
+        WARP_GATE_SRC, WARP_GATE_SRC_TILE, ZONAL_SX, ZONAL_SY,
+        warp_gate_image,
+    )
+    from transformio_spark.sources import synth
+
+    im = warp_gate_image()
+    tiles = raster.image_to_tiles(spark, im, tile=WARP_GATE_SRC_TILE)
+    boxes = synth.region_boxes(spark, "/root/testdata/sf0.001")
+    got = {
+        r["region_id"]: (r["n_pixels"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in raster.zonal_stats(
+            tiles, boxes, ZONAL_SX, ZONAL_SY, -180.0, 85.0
+        ).collect()
+    }
+    size = WARP_GATE_SRC
+    y, x = np.mgrid[0:size, 0:size]
+    lon = -180.0 + (x + 0.5) * ZONAL_SX
+    lat = 85.0 + (y + 0.5) * ZONAL_SY
+    bx = boxes.collect()
+    want = {}
+    for b in bx:
+        m = (
+            (lon >= b["lon_min"]) & (lon < b["lon_max"])
+            & (lat >= b["lat_min"]) & (lat < b["lat_max"])
+        )
+        if m.any():
+            want[b["region_id"]] = (
+                int(m.sum()),
+                int(im[..., 0][m].astype(np.int64).sum()),
+                int(im[..., 1][m].astype(np.int64).sum()),
+                int(im[..., 2][m].astype(np.int64).sum()),
+            )
+    assert got == want
+    assert sum(v[0] for v in got.values()) == size * size  # conservation
+    # plan: broadcast join, no Python, no cartesian product
+    plan = (
+        raster.zonal_stats(tiles, boxes, ZONAL_SX, ZONAL_SY, -180.0, 85.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_zonal_stats_rejects_non_north_up():
+    import pytest as _pytest
+
+    from transformio_spark.operators import raster
+
+    with _pytest.raises(ValueError, match="north-up"):
+        raster.zonal_stats(None, None, 1.0, 1.0, 0.0, 0.0)

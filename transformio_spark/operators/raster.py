@@ -506,3 +506,101 @@ def tiles_to_image(rows, width: int, height: int) -> np.ndarray:
         block = np.frombuffer(bytes(r.px), dtype=np.uint8).reshape((r.h, r.w, 4))
         out[r.row0 : r.row0 + r.h, r.col0 : r.col0 + r.w] = block
     return out
+
+
+def zonal_stats(
+    tiles_df: DataFrame,
+    boxes_df: DataFrame,
+    sx: float,
+    sy: float,
+    lon0: float,
+    lat0: float,
+) -> DataFrame:
+    """Zonal statistics: per-region aggregates over raster pixels
+    (count + per-band sums), the raster↔vector operator that pairs
+    with warp/rasterize (reference scope: imwarp.py grids ↔
+    vector.py geometries; this is their join).
+
+    North-up affine geo-transform only (lon = lon0 + (col+0.5)·sx,
+    lat = lat0 + (row+0.5)·sy, sy < 0) — pixel CENTERS are assigned,
+    half-open box containment ([min, max)), matching the point join's
+    convention.
+
+    Scale shape: region boxes are broadcast and interval-overlap-
+    joined to TILE BBOXES (tiny vs pixel data — partition pruning, the
+    same trick as warp's phase 2), then each surviving (tile, region)
+    pair folds over its pixels entirely JVM-side (F.aggregate over the
+    byte array — no Python, no per-pixel rows ever materialized), and
+    one final shuffle sums the per-tile partials per region.  At 10^12
+    pixels the fold is the distributed unit and the shuffle carries
+    only |tiles|·avg_regions_per_tile rows."""
+    if sy >= 0 or sx <= 0:
+        raise ValueError(
+            "zonal_stats expects a north-up affine: sx > 0, sy < 0"
+        )
+    t = tiles_df.select(
+        "tile_x", "tile_y", "col0", "row0", "w", "h", "px",
+        (F.lit(lon0) + F.col("col0") * F.lit(sx)).alias("_lon_lo"),
+        (F.lit(lon0) + (F.col("col0") + F.col("w")) * F.lit(sx)).alias("_lon_hi"),
+        (F.lit(lat0) + (F.col("row0") + F.col("h")) * F.lit(sy)).alias("_lat_lo"),
+        (F.lit(lat0) + F.col("row0") * F.lit(sy)).alias("_lat_hi"),
+    )
+    overlap = (
+        (F.col("_lon_lo") < F.col("lon_max"))
+        & (F.col("_lon_hi") > F.col("lon_min"))
+        & (F.col("_lat_lo") < F.col("lat_max"))
+        & (F.col("_lat_hi") > F.col("lat_min"))
+    )
+    pairs = t.join(F.broadcast(boxes_df), on=overlap, how="inner")
+
+    def _byte(j):  # 1-based byte offset into the tile's RGBA bytes
+        return F.conv(
+            F.hex(F.substring(F.col("px"), j, F.lit(1))), 16, 10
+        ).cast("long")
+
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        *[zero.alias(c) for c in ("n", "sr", "sg", "sb")]
+    )
+
+    def step(acc, i):
+        lon = (
+            F.lit(lon0)
+            + (F.col("col0") + (i % F.col("w")) + F.lit(0.5)) * F.lit(sx)
+        )
+        lat = (
+            F.lit(lat0)
+            + (F.col("row0") + F.floor(i / F.col("w")) + F.lit(0.5))
+            * F.lit(sy)
+        )
+        inside = (
+            (lon >= F.col("lon_min")) & (lon < F.col("lon_max"))
+            & (lat >= F.col("lat_min")) & (lat < F.col("lat_max"))
+        )
+        one = F.when(inside, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        return F.struct(
+            (acc["n"] + one).alias("n"),
+            (acc["sr"] + one * _byte(i * 4 + 1)).alias("sr"),
+            (acc["sg"] + one * _byte(i * 4 + 2)).alias("sg"),
+            (acc["sb"] + one * _byte(i * 4 + 3)).alias("sb"),
+        )
+
+    partial = pairs.select(
+        "region_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("w") * F.col("h") - 1),
+            init,
+            step,
+        ).alias("z"),
+    )
+    return (
+        partial.groupBy("region_id")
+        .agg(
+            F.sum("z.n").alias("n_pixels"),
+            F.sum("z.sr").alias("sum_r"),
+            F.sum("z.sg").alias("sum_g"),
+            F.sum("z.sb").alias("sum_b"),
+        )
+        .where(F.col("n_pixels") > 0)
+        .orderBy("region_id")
+    )

@@ -552,6 +552,42 @@ ORDER BY 1, 2
 """
 
 
+def zonal_stats() -> str:
+    """SQL twin of q_zonal_stats: regenerate the 256x256 gradient+
+    checker raster from its integer formula (same regeneration as the
+    warp oracle), compute each pixel CENTER's lon/lat through the
+    north-up affine, half-open containment join to the region boxes,
+    per-region count + band sums."""
+    from . import queries as q
+
+    size = q.WARP_GATE_SRC
+    sx, sy = q.ZONAL_SX, q.ZONAL_SY
+    return f"""
+WITH {geo_oracle.boxes_cte()},
+px AS (
+    SELECT c.x, r.y,
+           (c.x * 255) // {size} AS pr,
+           (r.y * 255) // {size} AS pg,
+           ((c.x // 32 + r.y // 32) % 2) * 255 AS pb,
+           -180.0e0 + (c.x + 0.5e0) * {sx!r} AS lon,
+           85.0e0 + (r.y + 0.5e0) * {sy!r} AS lat
+    FROM (SELECT unnest(range({size})) AS x) c,
+         (SELECT unnest(range({size})) AS y) r
+)
+SELECT cast(b.region_id as bigint) AS region_id,
+       count(*) AS n_pixels,
+       cast(sum(pr) as bigint) AS sum_r,
+       cast(sum(pg) as bigint) AS sum_g,
+       cast(sum(pb) as bigint) AS sum_b
+FROM px p JOIN boxes b
+  ON p.lon >= b.lon_min AND p.lon < b.lon_max
+ AND p.lat >= b.lat_min AND p.lat < b.lat_max
+GROUP BY 1
+HAVING count(*) > 0
+ORDER BY 1
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

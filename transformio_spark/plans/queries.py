@@ -1315,6 +1315,37 @@ def q_ease_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+ZONAL_SX = 360.0 / WARP_GATE_SRC
+ZONAL_SY = -170.0 / WARP_GATE_SRC
+
+
+def q_zonal_stats(spark, sf_dir) -> DataFrame:
+    """Zonal statistics (round 5): per-region pixel count + band sums
+    over the formula raster, georeferenced north-up across the full
+    lon/lat domain so every one of the 25 region boxes receives
+    pixels.  The REAL raster path runs (tile DataFrame → broadcast
+    bbox-overlap pruning join → per-tile JVM fold over the actual tile
+    BYTES, operators/raster.zonal_stats); the DuckDB twin regenerates
+    every pixel relationally from the integer gradient+checker formula
+    (the same regeneration the warp oracle uses) and replays the
+    pixel-center containment join — so a wrong byte, a mis-assigned
+    pixel, or an off-by-half-pixel center breaks the hash."""
+    from ..operators import raster
+    from ..sources import synth
+
+    tiles_df = raster.image_to_tiles(
+        spark, warp_gate_image(), tile=WARP_GATE_SRC_TILE
+    )
+    boxes = synth.region_boxes(spark, sf_dir)
+    out = raster.zonal_stats(
+        tiles_df, boxes, ZONAL_SX, ZONAL_SY, -180.0, 85.0
+    )
+    return out.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        "n_pixels", "sum_r", "sum_g", "sum_b",
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
