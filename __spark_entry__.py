@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_cells": _shipped(q.q_laea_cells),
         "ease_cells": _shipped(q.q_ease_cells),
         "zonal_stats": _shipped(q.q_zonal_stats),
+        "tile_rollup": _shipped(q.q_tile_rollup),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "laea_cells": oracles.laea_cells(),
         "ease_cells": oracles.ease_cells(),
         "zonal_stats": oracles.zonal_stats(),
+        "tile_rollup": oracles.tile_rollup(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

@@ -57,6 +57,7 @@ EXTRA = [
     "laea_cells",             # Lambert azimuthal equal-area, F.expr codegen
     "ease_cells",             # EASE-Grid 2.0 cylindrical equal-area, F.expr codegen
     "zonal_stats",            # per-region raster band sums, broadcast prune + JVM fold
+    "tile_rollup",            # two-level Morton rollup, bit-arithmetic re-key
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

@@ -71,3 +71,36 @@ def test_partition_pruning_on_tile_bucket(spark, pts, tmp_path):
     pf_line = [l for l in plan.split("\n") if "PartitionFilters" in l][0]
     assert "cell4" in pf_line
     assert filtered.count() == target["count"]
+
+
+def test_cell_id_sql_twin_matches_column(spark, pts):
+    """The shared SQL texts (cell_id_sql / cell_parent_sql) equal the
+    Column implementations on Spark AND evaluate identically in
+    DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions import tiles
+
+    df = pts.select(
+        "lon", "lat",
+        tiles.cell_id(F.col("lon"), F.col("lat"), 12).alias("col12"),
+        F.expr(tiles.cell_id_sql("lon", "lat", 12)).alias("sql12"),
+    ).withColumn(
+        "colp", tiles.cell_parent(F.col("col12"), 12, 8)
+    ).withColumn(
+        "sqlp", F.expr(tiles.cell_parent_sql("sql12", 12, 8))
+    )
+    bad = df.where(
+        (F.col("col12") != F.col("sql12")) | (F.col("colp") != F.col("sqlp"))
+    ).count()
+    assert bad == 0
+    pdf = df.select("lon", "lat", "col12", "colp").toPandas()
+    con = duckdb.connect()
+    con.register("p", pdf)
+    n = con.sql(
+        f"SELECT count(*) FROM p WHERE "
+        f"{tiles.cell_id_sql('lon', 'lat', 12)} != col12 OR "
+        f"{tiles.cell_parent_sql('col12', 12, 8)} != colp"
+    ).fetchone()[0]
+    assert n == 0

@@ -112,3 +112,45 @@ def tile_xy_sql(lon: str, lat: str, zoom: int) -> tuple[str, str]:
 def tile_id_sql(lon: str, lat: str, zoom: int) -> str:
     tx, ty = tile_xy_sql(lon, lat, zoom)
     return f"cast(({ty}) * {1 << zoom} + ({tx}) as bigint)"
+
+
+def _interleave_sql(c: str, bits: int) -> str:
+    """SQL twin of _interleave — the same magic-mask spread steps,
+    emitted as one expression text valid in BOTH dialects (Spark SQL
+    and DuckDB both parse `<<`, `|`, `&` on BIGINT identically)."""
+    masks = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    out = f"cast({c} as bigint)"
+    for shift, mask in masks:
+        if shift * 2 >= 2 * bits and shift >= bits:
+            continue
+        out = f"(({out} | ({out} << {shift})) & {mask})"
+    return out
+
+
+def cell_id_sql(lon: str, lat: str, zoom: int) -> str:
+    """SQL twin of cell_id: Morton cell id with the zoom packed in the
+    high bits, the identical expression text for Spark and DuckDB."""
+    tx, ty = tile_xy_sql(lon, lat, zoom)
+    mx = _interleave_sql(tx, zoom)
+    my = _interleave_sql(ty, zoom)
+    return (
+        f"cast((cast({zoom} as bigint) << 58) "
+        f"+ ({mx} | ({my} << 1)) as bigint)"
+    )
+
+
+def cell_parent_sql(cell: str, zoom: int, parent_zoom: int) -> str:
+    """SQL twin of cell_parent: drop 2 Morton bits per zoom level and
+    re-tag the resolution."""
+    drop = 2 * (zoom - parent_zoom)
+    morton = f"(cast({cell} as bigint) - (cast({zoom} as bigint) << 58))"
+    return (
+        f"cast((cast({parent_zoom} as bigint) << 58) "
+        f"+ ({morton} >> {drop}) as bigint)"
+    )

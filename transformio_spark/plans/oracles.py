@@ -588,6 +588,30 @@ ORDER BY 1
 """
 
 
+def tile_rollup() -> str:
+    """SQL twin of q_tile_rollup: the SAME two-level aggregation
+    through the SAME expression texts (tiles.cell_id_sql at zoom 12,
+    tiles.cell_parent_sql 12 -> 8)."""
+    from ..functions import tiles
+
+    c12 = tiles.cell_id_sql("lon", "lat", 12)
+    parent = tiles.cell_parent_sql("c12", 12, 8)
+    return f"""
+WITH {geo_oracle.points_cte()},
+child AS (
+    SELECT {c12} AS c12, count(*) AS n
+    FROM pts
+    GROUP BY 1
+)
+SELECT {parent} AS cell8,
+       cast(sum(n) as bigint) AS n_points,
+       count(*) AS n_child_cells
+FROM child
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

@@ -1346,6 +1346,37 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tile_rollup(spark, sf_dir) -> DataFrame:
+    """Hierarchical cell rollup (round 5 — the H3/S2 'hypertable
+    rollup' pattern): per-point Morton cell ids at zoom 12 are
+    pre-aggregated (one count per occupied fine cell — at 100 TB this
+    first groupBy is the massive-reduction step), then re-keyed to
+    zoom 8 by PURE BIT ARITHMETIC (functions/tiles.cell_parent — no
+    recomputation from coordinates) and re-aggregated.  The DuckDB
+    twin runs the identical two-level plan through the shared
+    expression texts (cell_id_sql / cell_parent_sql), so the Morton
+    interleave, the resolution tag, and the parent shift are all
+    hash-checked."""
+    from ..functions import tiles
+
+    child = (
+        points_df(spark, sf_dir)
+        .groupBy(
+            tiles.cell_id(F.col("lon"), F.col("lat"), 12).alias("c12")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        child.withColumn("cell8", tiles.cell_parent(F.col("c12"), 12, 8))
+        .groupBy("cell8")
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_child_cells"),
+        )
+        .orderBy("cell8")
+    )
+
+
 def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     """Forward+inverse round trip through the pandas-UDF kernel path:
     poly-2 fitted on china22 (swapped-refit inverse,
