@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ease_cells": _shipped(q.q_ease_cells),
         "zonal_stats": _shipped(q.q_zonal_stats),
         "tile_rollup": _shipped(q.q_tile_rollup),
+        "length_quantiles": _shipped(q.q_length_quantiles),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "ease_cells": oracles.ease_cells(),
         "zonal_stats": oracles.zonal_stats(),
         "tile_rollup": oracles.tile_rollup(),
+        "length_quantiles": oracles.length_quantiles(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

@@ -58,6 +58,7 @@ EXTRA = [
     "ease_cells",             # EASE-Grid 2.0 cylindrical equal-area, F.expr codegen
     "zonal_stats",            # per-region raster band sums, broadcast prune + JVM fold
     "tile_rollup",            # two-level Morton rollup, bit-arithmetic re-key
+    "length_quantiles",       # exact per-lang percentile (sort-based, not approx)
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

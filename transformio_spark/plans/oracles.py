@@ -625,6 +625,23 @@ ORDER BY lang
 """
 
 
+def length_quantiles() -> str:
+    """SQL twin of q_length_quantiles: DuckDB quantile_cont — the same
+    rank-p*(n-1) linear interpolation as Spark's exact percentile."""
+    return """
+WITH l AS (SELECT lang, length(text) AS len FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(round(quantile_cont(len, 0.25) * 1000000e0) as bigint) AS p25_e6,
+       cast(round(quantile_cont(len, 0.50) * 1000000e0) as bigint) AS p50_e6,
+       cast(round(quantile_cont(len, 0.75) * 1000000e0) as bigint) AS p75_e6,
+       cast(round(quantile_cont(len, 0.95) * 1000000e0) as bigint) AS p95_e6
+FROM l
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def token_stats() -> str:
     from ..functions.text import bpe_token_count_sql, rolling_fingerprint_sql
 

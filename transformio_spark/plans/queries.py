@@ -231,6 +231,42 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark, sf_dir) -> DataFrame:
+    """Per-language EXACT interpolated quantiles of document length
+    (round 5 — corpus length-distribution profiling, the statistic a
+    curation pipeline thresholds on).  Spark's `percentile` (exact,
+    sort-based — NOT percentile_approx: an approximate sketch can't be
+    hash-verified) against DuckDB's quantile_cont.  Both engines
+    interpolate at rank p*(n-1); with integer lengths every
+    interpolation term here is exactly representable (p in quarters
+    and twentieths on integer operands), so the e6-scaled outputs are
+    bit-identical — the property test for that argument is the e6
+    rounding itself: a single ulp of divergence would flip a hash
+    mismatch at the .5 boundaries, of which integer-valued products
+    have none."""
+    docs = synth.raw_documents(spark, sf_dir)
+    qs = (
+        docs.select("lang", F.length("text").alias("len"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "percentile(len, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("q"),
+        )
+    )
+    return qs.select(
+        "lang",
+        "n_docs",
+        *[
+            F.round(F.col("q")[i] * 1e6).cast("long").alias(name)
+            for i, name in enumerate(
+                ("p25_e6", "p50_e6", "p75_e6", "p95_e6")
+            )
+        ],
+    ).orderBy("lang")
+
+
 def q_token_stats(spark, sf_dir) -> DataFrame:
     """BPE-ish regex token counting + rolling-hash document
     fingerprints (training-data text analysis): per-lang token sums
