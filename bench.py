@@ -59,6 +59,7 @@ EXTRA = [
     "zonal_stats",            # per-region raster band sums, broadcast prune + JVM fold
     "tile_rollup",            # two-level Morton rollup, bit-arithmetic re-key
     "length_quantiles",       # exact per-lang percentile (sort-based, not approx)
+    "session_window_overlap", # bucketed interval grid join, zero-dedup-shuffle
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

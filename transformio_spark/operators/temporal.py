@@ -226,3 +226,70 @@ def sessionize(
             .rowsBetween(Window.unboundedPreceding, 0)
         ) - F.lit(1)).cast("long"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_us: int,
+    left_start: str = "l_start_us",
+    left_end: str = "l_end_us",
+    right_start: str = "r_start_us",
+    right_end: str = "r_end_us",
+) -> DataFrame:
+    """Interval × interval overlap join (half-open [start, end) on
+    integer microseconds): all pairs with
+    ``l_start < r_end AND r_start < l_end``.
+
+    Spark has no overlap-join primitive; the naive form is a
+    cross-join with an inequality filter (quadratic).  Scale plan —
+    the 1-D version of the spatial tile-cover join: each interval
+    explodes into the time buckets it covers, the two sides equi-join
+    on bucket, and a pair that shares several buckets is emitted
+    EXACTLY ONCE with zero dedup shuffle: only the bucket containing
+    ``greatest(l_start, r_start)`` (the first bucket the pair can
+    co-occur in) reports it — the standard grid-join
+    report-at-first-common-cell trick.  Work scales as
+    interval_span / bucket_us per row; pick ``bucket_us`` near the
+    typical interval length.
+
+    Both inputs must carry non-empty intervals (end > start): empty
+    intervals can never overlap anything under half-open semantics and
+    are rejected loudly rather than silently dropped — as a row-level
+    ``raise_error`` fused into the bucket-cover expression (no extra
+    validation scan; at 10^12 rows a driver-side pre-count would read
+    the whole table twice).
+    """
+
+    def cover(df, s, e, side):
+        lo = F.when(
+            F.col(e) <= F.col(s),
+            F.raise_error(F.concat(
+                F.lit(
+                    f"interval_overlap_join: {side} side has an empty "
+                    f"interval ({e} <= {s}) at {s}="
+                ),
+                F.col(s).cast("string"),
+            )),
+        ).otherwise(F.floor(F.col(s) / bucket_us))
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(lo, F.floor((F.col(e) - 1) / bucket_us))
+            ),
+        )
+
+    lc = cover(left, left_start, left_end, "left")
+    rc = cover(right, right_start, right_end, "right")
+    pair_bucket = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket_us
+    )
+    return (
+        lc.join(rc, on="_bucket", how="inner")
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("_bucket") == pair_bucket)
+        )
+        .drop("_bucket")
+    )

@@ -415,6 +415,63 @@ ORDER BY lang
 """
 
 
+def session_window_overlap() -> str:
+    """SQL twin of q_session_window_overlap: same session intervals
+    (the event_sessions lag->flag->running-sum CTE), same formula
+    windows, but the join is the PLAIN quadratic inequality overlap —
+    verifying the bucketed grid join's cover/dedup logic against
+    first-principles semantics."""
+    from .queries import (
+        SESSION_GAP_S,
+        WINDOW_COUNT,
+        WINDOW_LEN_US,
+        WINDOW_STEP_US,
+        WINDOW_T0_US,
+    )
+
+    gap_us = int(SESSION_GAP_S) * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS session_idx
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_idx,
+         epoch_us(min(ts)) AS l_start_us,
+         epoch_us(max(ts)) + 1 AS l_end_us
+  FROM numbered GROUP BY 1, 2
+),
+wins AS (
+  SELECT k AS window_id,
+         {WINDOW_T0_US} + k * {WINDOW_STEP_US} AS r_start_us,
+         {WINDOW_T0_US} + k * {WINDOW_STEP_US}
+           + {WINDOW_LEN_US} AS r_end_us
+  FROM (SELECT unnest(range({WINDOW_COUNT})) AS k)
+)
+SELECT w.window_id,
+       count(*) AS n_sessions,
+       cast(sum(least(s.l_end_us, w.r_end_us)
+                - greatest(s.l_start_us, w.r_start_us)) as bigint)
+         AS sum_overlap_us
+FROM sess s JOIN wins w
+  ON s.l_start_us < w.r_end_us AND w.r_start_us < s.l_end_us
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def event_sessions() -> str:
     """SQL twin of q_event_sessions: identical lag -> gap flag ->
     running sum -> two-level aggregate, microsecond-integer gap

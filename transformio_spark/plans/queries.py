@@ -1220,6 +1220,64 @@ def q_event_sessions(spark, sf_dir) -> DataFrame:
     )
 
 
+#: interval-overlap gate parameters (shared with the oracle):
+#: 48 deterministic maintenance windows over January 2024 — start at
+#: epoch(2024-01-01) + k*15 h, length 3 + (7k mod 20) hours — and a
+#: 6-hour cover bucket
+WINDOW_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+WINDOW_COUNT = 48
+WINDOW_STEP_US = 15 * 3_600_000_000
+WINDOW_LEN_US = "(3 + (7 * k) % 20) * 3600000000"
+OVERLAP_BUCKET_US = 6 * 3_600_000_000
+
+
+def q_session_window_overlap(spark, sf_dir) -> DataFrame:
+    """Interval-overlap join (round 5): gap-based sessions (the
+    sessionize operator's [first_event, last_event + 1µs) intervals)
+    × 48 formula-generated maintenance windows, via the bucketed
+    grid join (operators/temporal.interval_overlap_join — explode to
+    6-hour buckets, equi-join, report-at-first-common-bucket dedup, NO
+    distinct shuffle, NO cross join).  Observables per window: number
+    of overlapping sessions and the summed exact overlap duration
+    (integer µs) — wrong dedup double-counts, wrong bucket math drops
+    pairs, wrong overlap arithmetic shifts the sum.  The DuckDB twin
+    is the plain quadratic inequality join over the same session CTE."""
+    from ..operators.temporal import interval_overlap_join, sessionize
+    from ..streaming.stream import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    sess = (
+        sessionize(ev, gap_seconds=SESSION_GAP_S)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("l_start_us"),
+            (F.unix_micros(F.max("ts")) + 1).alias("l_end_us"),
+        )
+    )
+    wins = spark.range(WINDOW_COUNT).select(
+        F.col("id").cast("long").alias("window_id"),
+        (F.lit(WINDOW_T0_US) + F.col("id") * WINDOW_STEP_US)
+        .alias("r_start_us"),
+        (
+            F.lit(WINDOW_T0_US)
+            + F.col("id") * WINDOW_STEP_US
+            + F.expr(WINDOW_LEN_US.replace("k", "id"))
+        ).alias("r_end_us"),
+    )
+    joined = interval_overlap_join(sess, wins, OVERLAP_BUCKET_US)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.least(F.col("l_end_us"), F.col("r_end_us"))
+                - F.greatest(F.col("l_start_us"), F.col("r_start_us"))
+            ).cast("long").alias("sum_overlap_us"),
+        )
+        .orderBy("window_id")
+    )
+
+
 #: packing gate parameters (shared with the oracle)
 PACK_CAPACITY = 512
 #: stratified-sample gate rates (shared with the oracle)
