@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _shipped(q.q_tile_rollup),
         "length_quantiles": _shipped(q.q_length_quantiles),
         "session_window_overlap": _shipped(q.q_session_window_overlap),
+        "polygon_areas": _shipped(q.q_polygon_areas),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": oracles.tile_rollup(),
         "length_quantiles": oracles.length_quantiles(),
         "session_window_overlap": oracles.session_window_overlap(),
+        "polygon_areas": oracles.polygon_areas(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

@@ -60,6 +60,7 @@ EXTRA = [
     "tile_rollup",            # two-level Morton rollup, bit-arithmetic re-key
     "length_quantiles",       # exact per-lang percentile (sort-based, not approx)
     "session_window_overlap", # bucketed interval grid join, zero-dedup-shuffle
+    "polygon_areas",          # exact shoelace ring metrics, decimal centroid sums
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

@@ -107,3 +107,55 @@ def renest(geoms: DataFrame) -> DataFrame:
             lambda s: s["rings"],
         ).alias("parts")
     )
+
+
+def ring_metrics(geoms: DataFrame) -> DataFrame:
+    """Shoelace metrics per ring over the long point table: twice the
+    signed area (``area2``, EXACT integer when x/y are integer-lattice
+    coords), vertex count, and the polygon centroid.
+
+    Cross-engine exactness contract: the shoelace terms are 64-bit
+    integer products and the centroid numerators are DECIMAL(38,0) —
+    both order-safe under distributed summation (integer/decimal
+    addition is associative; double summation is NOT, so a
+    double-typed sum could hash-differ between engines on mere
+    partition order).  The only doubles are the two final divisions of
+    exact integers, which IEEE round identically everywhere.
+
+    One shuffle (the groupBy); the edge-pairing lead() shares the same
+    (geom_id, part_id, ring_id) partitioning, so Catalyst plans a
+    single Exchange.  Rings are closed implicitly (last vertex pairs
+    with the first); callers pass OPEN rings (no repeated last point).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("geom_id", "part_id", "ring_id").orderBy("pt_seq")
+    xl = F.col("x").cast("long")
+    yl = F.col("y").cast("long")
+    edges = geoms.select(
+        "geom_id", "part_id", "ring_id",
+        xl.alias("xi"), yl.alias("yi"),
+        F.coalesce(F.lead(xl, 1).over(w), F.first(xl).over(w)).alias("xn"),
+        F.coalesce(F.lead(yl, 1).over(w), F.first(yl).over(w)).alias("yn"),
+    ).withColumn(
+        "cross", F.col("xi") * F.col("yn") - F.col("xn") * F.col("yi")
+    )
+    dec = "decimal(38,0)"
+    agg = edges.groupBy("geom_id", "part_id", "ring_id").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("cross").alias("area2"),
+        F.sum(
+            ((F.col("xi") + F.col("xn")).cast(dec)
+             * F.col("cross").cast(dec))
+        ).alias("_cxn"),
+        F.sum(
+            ((F.col("yi") + F.col("yn")).cast(dec)
+             * F.col("cross").cast(dec))
+        ).alias("_cyn"),
+    )
+    a2d = F.col("area2").cast("double")
+    return agg.select(
+        "geom_id", "part_id", "ring_id", "n_vertices", "area2",
+        (F.col("_cxn").cast("double") / (3.0 * a2d)).alias("centroid_x"),
+        (F.col("_cyn").cast("double") / (3.0 * a2d)).alias("centroid_y"),
+    )

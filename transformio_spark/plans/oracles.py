@@ -113,6 +113,39 @@ FROM d
 """
 
 
+def polygon_areas() -> str:
+    """SQL twin of q_polygon_areas via FIRST-PRINCIPLES triangle
+    formulas (not the shoelace pipeline): area2 as the direct cross
+    product of two edges, centroid as the vertex mean — equal to the
+    closed-ring shoelace only when the general operator pairs and
+    closes edges correctly."""
+    from ..sources.oracle import boxes_cte
+
+    return f"""
+WITH {boxes_cte()},
+tris AS (
+    SELECT region_id,
+           cast((lon_min + 8.0)  * 100000 as bigint) AS x1,
+           cast((lat_min + 4.0)  * 100000 as bigint) AS y1,
+           cast((lon_min + 64.0) * 100000 as bigint) AS x2,
+           cast((lat_min + 10.0) * 100000 as bigint) AS y2,
+           cast((lon_min + 30.0) * 100000 as bigint) AS x3,
+           cast((lat_max - 4.0)  * 100000 as bigint) AS y3
+    FROM boxes
+)
+SELECT cast(region_id as bigint) AS region_id,
+       cast(3 as bigint) AS n_vertices,
+       cast((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1) as bigint)
+         AS area2,
+       cast(round(((x1 + x2 + x3) / 3.0e0) * 1000000e0) as bigint)
+         AS cx_e6,
+       cast(round(((y1 + y2 + y3) / 3.0e0) * 1000000e0) as bigint)
+         AS cy_e6
+FROM tris
+ORDER BY 1
+"""
+
+
 def vector_transform() -> str:
     from .queries import VECTOR_AFFINE as A
 

@@ -343,6 +343,37 @@ def q_embedding_knn_l2(spark, sf_dir) -> DataFrame:
 VECTOR_AFFINE = [[1.25, 0.0, 3.0], [0.0, 0.75, -2.0], [0.0, 0.0, 1.0]]
 
 
+def q_polygon_areas(spark, sf_dir) -> DataFrame:
+    """Shoelace ring metrics (round 5 — vector analytics over the long
+    point table): every region triangle through the GENERAL ring
+    operator (operators/vector_geom.ring_metrics — lead-paired edges,
+    exact integer area2, DECIMAL(38,0) centroid numerators, one
+    shuffle).  The oracle is deliberately NON-CIRCULAR: for a triangle
+    the closed shoelace centroid equals the vertex mean and area2 has
+    the direct two-edge cross form — DuckDB computes those
+    first-principles formulas from the regenerated vertices, so an
+    edge-pairing bug, a lost closing edge, or a sum-order hazard in
+    the general pipeline cannot reproduce the oracle by construction."""
+    from ..operators import vector_geom
+
+    tris = synth.region_triangles(spark, sf_dir)
+    long_pts = tris.selectExpr(
+        "cast(region_id as string) AS geom_id",
+        "0 AS part_id", "0 AS ring_id",
+        "stack(3, 0, cast(x1 as double), cast(y1 as double), "
+        "1, cast(x2 as double), cast(y2 as double), "
+        "2, cast(x3 as double), cast(y3 as double)) AS (pt_seq, x, y)"
+    )
+    m = vector_geom.ring_metrics(long_pts)
+    return m.select(
+        F.col("geom_id").cast("long").alias("region_id"),
+        "n_vertices",
+        "area2",
+        F.round(F.col("centroid_x") * 1e6).cast("long").alias("cx_e6"),
+        F.round(F.col("centroid_y") * 1e6).cast("long").alias("cy_e6"),
+    ).orderBy("region_id")
+
+
 def q_vector_transform(spark, sf_dir) -> DataFrame:
     """Vector-geometry pipeline through the Arrow pandas-UDF kernel
     path (SURVEY §2.4 op 27 at scale): triangle vertices → exploded
