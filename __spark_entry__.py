@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _shipped(q.q_length_quantiles),
         "session_window_overlap": _shipped(q.q_session_window_overlap),
         "polygon_areas": _shipped(q.q_polygon_areas),
+        "hotspot_focal": _shipped(q.q_hotspot_focal),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": oracles.length_quantiles(),
         "session_window_overlap": oracles.session_window_overlap(),
         "polygon_areas": oracles.polygon_areas(),
+        "hotspot_focal": oracles.hotspot_focal(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

@@ -61,6 +61,7 @@ EXTRA = [
     "length_quantiles",       # exact per-lang percentile (sort-based, not approx)
     "session_window_overlap", # bucketed interval grid join, zero-dedup-shuffle
     "polygon_areas",          # exact shoelace ring metrics, decimal centroid sums
+    "hotspot_focal",          # sparse-grid 3x3 focal sum, spread/gather/support
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

@@ -104,3 +104,29 @@ def test_cell_id_sql_twin_matches_column(spark, pts):
         f"{tiles.cell_parent_sql('col12', 12, 8)} != colp"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_focal_sum_known_grid(spark):
+    """Hand-checked 3x3 focal sums on a tiny sparse grid, including a
+    lone cell (neighborhood = itself) and edge cells with partial
+    neighborhoods; radius validation raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from transformio_spark.operators.grid import focal_sum
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 10), (2, 0, 100), (1, 1, 1000), (9, 9, 7)],
+        "tx long, ty long, n long",
+    )
+    got = {(r["tx"], r["ty"]): (r["n"], r["focal_sum"])
+           for r in focal_sum(cells).collect()}
+    assert got == {
+        (0, 0): (1, 1 + 10 + 1000),
+        (1, 0): (10, 1 + 10 + 100 + 1000),
+        (2, 0): (100, 10 + 100 + 1000),
+        (1, 1): (1000, 1 + 10 + 100 + 1000),
+        (9, 9): (7, 7),
+    }
+    with _pytest.raises(ValueError, match="radius"):
+        focal_sum(cells, radius=0)

@@ -678,6 +678,37 @@ ORDER BY 1
 """
 
 
+def hotspot_focal() -> str:
+    """SQL twin of q_hotspot_focal: same tile_xy text, same
+    spread/gather/support-join plan as SQL."""
+    from ..functions import tiles
+
+    tx, ty = tiles.tile_xy_sql("lon", "lat", 10)
+    return f"""
+WITH {geo_oracle.points_cte()},
+cells AS (
+    SELECT cast({tx} as bigint) AS tx, cast({ty} as bigint) AS ty,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2
+),
+spread AS (
+    SELECT c.tx + dx.d AS _tx, c.ty + dy.d AS _ty, c.n AS v
+    FROM cells c,
+         (SELECT unnest(range(-1, 2)) AS d) dx,
+         (SELECT unnest(range(-1, 2)) AS d) dy
+),
+gathered AS (
+    SELECT _tx, _ty, sum(v) AS focal_sum
+    FROM spread GROUP BY 1, 2
+)
+SELECT c.tx, c.ty,
+       cast(c.n as bigint) AS n,
+       cast(g.focal_sum as bigint) AS focal_sum
+FROM gathered g JOIN cells c ON g._tx = c.tx AND g._ty = c.ty
+ORDER BY 1, 2
+"""
+
+
 def tile_rollup() -> str:
     """SQL twin of q_tile_rollup: the SAME two-level aggregation
     through the SAME expression texts (tiles.cell_id_sql at zoom 12,

@@ -1471,6 +1471,36 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_hotspot_focal(spark, sf_dir) -> DataFrame:
+    """Sparse-grid focal sum (round 5 — hotspot smoothing / raster
+    convolution at the cell level): zoom-10 tile counts through
+    operators/grid.focal_sum (spread → one-shuffle gather → support
+    join).  Observables: per-tile own count + 3x3 neighborhood sum —
+    a wrong offset, a missed self-contribution, or dilated-support
+    leakage all shift rows or sums.  The DuckDB twin runs the same
+    spread/gather relationally from the raw points."""
+    from ..functions import tiles
+    from ..operators.grid import focal_sum
+
+    pts = points_df(spark, sf_dir)
+    tx, ty = tiles.tile_xy(F.col("lon"), F.col("lat"), 10)
+    counts = (
+        pts.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        focal_sum(counts, radius=1)
+        .select(
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.col("n").cast("long").alias("n"),
+            F.col("focal_sum").cast("long").alias("focal_sum"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
 def q_tile_rollup(spark, sf_dir) -> DataFrame:
     """Hierarchical cell rollup (round 5 — the H3/S2 'hypertable
     rollup' pattern): per-point Morton cell ids at zoom 12 are
