@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_overlap": _shipped(q.q_session_window_overlap),
         "polygon_areas": _shipped(q.q_polygon_areas),
         "hotspot_focal": _shipped(q.q_hotspot_focal),
+        "idw_surface": _shipped(q.q_idw_surface),
+        "trajectory_stats": _shipped(q.q_trajectory_stats),
+        "grid_dbscan": _shipped(q.q_grid_dbscan),
+        "geohash_counts": _shipped(q.q_geohash_counts),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
         "decontamination": _shipped(q.q_decontamination),
@@ -133,6 +137,10 @@ def oracle_sql() -> dict[str, str]:
         "session_window_overlap": oracles.session_window_overlap(),
         "polygon_areas": oracles.polygon_areas(),
         "hotspot_focal": oracles.hotspot_focal(),
+        "idw_surface": oracles.idw_surface(),
+        "trajectory_stats": oracles.trajectory_stats(),
+        "grid_dbscan": oracles.grid_dbscan(),
+        "geohash_counts": oracles.geohash_counts(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),
         "decontamination": oracles.decontamination(),

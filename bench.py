@@ -62,6 +62,10 @@ EXTRA = [
     "session_window_overlap", # bucketed interval grid join, zero-dedup-shuffle
     "polygon_areas",          # exact shoelace ring metrics, decimal centroid sums
     "hotspot_focal",          # sparse-grid 3x3 focal sum, spread/gather/support
+    "idw_surface",            # literal-centers IDW interpolation, zero joins
+    "trajectory_stats",       # window-lag track steps, single shuffle
+    "grid_dbscan",            # density clusters, neighbor equi-join + CC
+    "geohash_counts",         # published base32 encoding, pure codegen
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

@@ -265,3 +265,275 @@ def test_rolling_fingerprint_empty_text(spark):
     )
     assert got == want
     assert got[""] == 0
+
+
+def test_idw_surface_properties(spark):
+    """IDW sanity pins: at a control point the surface returns that
+    point's value (to the eps regularization); everywhere the value is
+    within [min, max] of the control values (convex weights); the
+    DuckDB and Spark evaluations of the shared text agree exactly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from transformio_spark.fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from transformio_spark.functions.geo import idw_sql
+
+    centers = [(p[0], p[1]) for p in CHINA22_GEOPOINTS]
+    vals = [float(p[0]) for p in CHINA22_IMPOINTS]
+    expr = idw_sql("lon", "lat", centers, vals)
+    rng = np.random.default_rng(3)
+    qlon = np.concatenate([rng.uniform(-179, 179, 200),
+                           np.array([c[0] for c in centers])])
+    qlat = np.concatenate([rng.uniform(-85, 85, 200),
+                           np.array([c[1] for c in centers])])
+    pdf = pd.DataFrame({"lon": qlon, "lat": qlat})
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    d = con.sql(f"SELECT {expr} AS v FROM pts").df()["v"].values
+    s = (
+        spark.createDataFrame(pdf)
+        .select(F.expr(expr).alias("v"))
+        .toPandas()["v"].values
+    )
+    # Identical SQL text, but Spark (java.lang.Math) and DuckDB (libm)
+    # trig differ by ~1 ulp; the shared text pins everything else.
+    np.testing.assert_allclose(d, s, rtol=1e-12)
+    assert d.min() >= min(vals) - 1e-9 and d.max() <= max(vals) + 1e-9
+    at_centers = d[200:]
+    np.testing.assert_allclose(at_centers, vals, atol=1e-6)
+
+
+def test_bearing_deg_known_azimuths(spark):
+    """Bearing pins: cardinal directions from the equator/meridians,
+    [0,360) domain, and Spark/DuckDB agreement on the shared text."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions.geo import bearing_deg_sql
+
+    cases = pd.DataFrame(
+        [
+            (0.0, 0.0, 0.0, 10.0, 0.0),     # due north
+            (0.0, 0.0, 10.0, 0.0, 90.0),    # due east along equator
+            (0.0, 10.0, 0.0, 0.0, 180.0),   # due south
+            (10.0, 0.0, 0.0, 0.0, 270.0),   # due west along equator
+            (0.0, 0.0, 45.0, 0.0, 90.0),
+        ],
+        columns=["lon1", "lat1", "lon2", "lat2", "want"],
+    )
+    expr = bearing_deg_sql("lon1", "lat1", "lon2", "lat2")
+    con = duckdb.connect()
+    con.register("c", cases)
+    d = con.sql(f"SELECT {expr} AS b FROM c").df()["b"].values
+    s = (
+        spark.createDataFrame(cases)
+        .select(F.expr(expr).alias("b"))
+        .toPandas()["b"].values
+    )
+    np.testing.assert_allclose(d, cases["want"].values, atol=1e-9)
+    np.testing.assert_allclose(s, cases["want"].values, atol=1e-9)
+    # random pairs: domain [0,360), cross-engine agreement to ulps
+    rng = np.random.default_rng(7)
+    rand = pd.DataFrame({
+        "lon1": rng.uniform(-180, 180, 500),
+        "lat1": rng.uniform(-85, 85, 500),
+        "lon2": rng.uniform(-180, 180, 500),
+        "lat2": rng.uniform(-85, 85, 500),
+        "want": np.zeros(500),
+    })
+    con.register("r", rand)
+    dr = con.sql(f"SELECT {expr} AS b FROM r").df()["b"].values
+    sr = (
+        spark.createDataFrame(rand)
+        .select(F.expr(expr).alias("b"))
+        .toPandas()["b"].values
+    )
+    assert (dr >= 0).all() and (dr < 360).all()
+    np.testing.assert_allclose(dr, sr, atol=1e-9)
+
+
+def test_trajectory_gate_discretization_margins(spark, sf_dir):
+    """The trajectory gate's cross-engine safety rests on two margins:
+    every step's meter value sits away from a round-half .5 boundary,
+    and every bearing sits away from a 45° octant boundary (except
+    EXACT boundaries, which both engines compute identically from
+    exact-zero atan2 arguments).  Measure both on the gate corpus."""
+    import duckdb
+
+    from transformio_spark.functions.geo import bearing_deg_sql, haversine_km_sql
+    from transformio_spark.plans import oracles as o
+    from transformio_spark.sources.oracle import points_cte
+    from transformio_spark.plans.queries import N_TRACKS
+
+    con = duckdb.connect()
+    for t in ["lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    d_m = f"({haversine_km_sql('plon', 'plat', 'lon', 'lat')} * 1000.0e0)"
+    b = bearing_deg_sql("plon", "plat", "lon", "lat")
+    row = con.sql(f"""
+WITH {points_cte()},
+tracked AS (
+  SELECT doc_num % {N_TRACKS} AS track_id, doc_num, span_pos, lon, lat FROM pts
+),
+stepped AS (
+  SELECT track_id, doc_num, span_pos, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM tracked WINDOW w AS (PARTITION BY track_id ORDER BY doc_num, span_pos)
+)
+SELECT plon, plat, lon, lat, {d_m} AS d_m, {b} AS b_deg
+FROM stepped WHERE plon IS NOT NULL
+ORDER BY track_id, doc_num, span_pos
+""").df()
+    assert len(row) > 100
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.createDataFrame(row[["plon", "plat", "lon", "lat"]])
+        .select(F.expr(d_m).alias("d_m"), F.expr(b).alias("b_deg"))
+        .toPandas()
+    )
+    # Per-step cross-engine drift vs per-step distance to the nearest
+    # discretization boundary: a gate value can only move if SOME step's
+    # drift exceeds ITS OWN margin.  Exact boundaries (margin 0, e.g.
+    # bearing exactly 0° from atan2 of exact-zero args) must show zero
+    # drift — both engines compute them identically.
+    d_m_d, d_m_s = row["d_m"].values, s["d_m"].values
+    drift = np.abs(d_m_d - d_m_s)
+    margin = np.abs(d_m_d - np.floor(d_m_d) - 0.5)
+    assert (drift < np.maximum(margin, 1e-12) * 1e-2).all(), (
+        drift.max(), margin[drift.argmax()])
+    b_d, b_s = row["b_deg"].values, s["b_deg"].values
+    bdrift = np.abs(b_d - b_s)
+    brem = b_d % 45.0
+    bmargin = np.minimum(brem, 45.0 - brem)
+    on_boundary = brem == 0.0
+    assert (bdrift[on_boundary] == 0.0).all()
+    off = ~on_boundary
+    assert (bdrift[off] < np.maximum(bmargin[off], 1e-12) * 1e-2).all(), (
+        bdrift[off].max(), bmargin[off][bdrift[off].argmax()])
+
+
+def test_grid_dbscan_shapes(spark):
+    """Two L-shaped blobs joined only diagonally, an isolated core
+    cell, and sub-threshold noise: cluster membership, bbox, point
+    sums, and noise exclusion are all pinned by hand."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.operators.grid import grid_dbscan
+
+    rows = [
+        # blob A: (0,0),(1,0),(1,1) — L, 8-connected
+        (0, 0, 5), (1, 0, 3), (1, 1, 4),
+        # diagonal bridge cell (2,2) connects blob A to blob B
+        (2, 2, 3),
+        # blob B: (3,3),(3,4)
+        (3, 3, 6), (3, 4, 3),
+        # isolated core far away
+        (10, 10, 9),
+        # noise: below min_pts, adjacent to blob A
+        (0, 1, 2),
+    ]
+    cells = spark.createDataFrame(rows, "tx long, ty long, n long")
+    got = {
+        r["cluster_id"]: r.asDict()
+        for r in grid_dbscan(cells, min_pts=3, width=100).collect()
+    }
+    # one merged cluster (diagonal chain) with min cell_id 0*100+0=0,
+    # one singleton at 10*100+10=1010
+    assert set(got) == {0, 1010}
+    big = got[0]
+    assert big["n_cells"] == 6
+    assert big["n_points"] == 5 + 3 + 4 + 3 + 6 + 3
+    assert (big["tx_min"], big["tx_max"], big["ty_min"], big["ty_max"]) == (0, 3, 0, 4)
+    lone = got[1010]
+    assert lone["n_cells"] == 1 and lone["n_points"] == 9
+
+    # raising min_pts to 4 drops the bridge and blob fringes: core
+    # cells are (0,0) n=5, (1,1) n=4 (diagonal pair -> one cluster),
+    # (3,3) n=6 and (10,10) n=9 as singletons
+    got2 = {
+        r["cluster_id"]: r.asDict()
+        for r in grid_dbscan(cells, min_pts=4, width=100).collect()
+    }
+    assert set(got2) == {0, 3 * 100 + 3, 1010}
+    assert got2[0]["n_cells"] == 2 and got2[0]["n_points"] == 9
+    assert got2[3 * 100 + 3]["n_cells"] == 1
+
+
+def _bisection_geohash(lon, lat, precision):
+    """Independent third implementation: classic iterative bisection
+    (the encoding's defining algorithm) on e4-snapped coords."""
+    from transformio_spark.functions.tiles import GEOHASH_B32
+
+    lon = round(lon * 1e4) / 1e4
+    lat = round(lat * 1e4) / 1e4
+    lo1, hi1, lo2, hi2 = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lo1 + hi1) / 2
+            bits.append(1 if lon >= mid else 0)
+            lo1, hi1 = (mid, hi1) if lon >= mid else (lo1, mid)
+        else:
+            mid = (lo2 + hi2) / 2
+            bits.append(1 if lat >= mid else 0)
+            lo2, hi2 = (mid, hi2) if lat >= mid else (lo2, mid)
+        even = not even
+    out = ""
+    for j in range(precision):
+        v = 0
+        for b in bits[5 * j:5 * j + 5]:
+            v = v * 2 + b
+        out += GEOHASH_B32[v]
+    return out
+
+
+def test_geohash_three_way_and_published_vectors(spark):
+    """Column builder == SQL-text twin == iterative bisection on
+    random + boundary points at every precision parity, and the
+    published test vectors hold."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions.tiles import geohash, geohash_sql
+
+    rng = np.random.default_rng(23)
+    pts = pd.DataFrame({
+        "lon": np.concatenate([
+            rng.uniform(-180, 179.9999, 300),
+            [-180.0, 0.0, 90.0, -90.0, 179.9999, 0.0001, -0.0001],
+        ]),
+        "lat": np.concatenate([
+            rng.uniform(-90, 89.9999, 300),
+            [-90.0, 0.0, 45.0, -45.0, 89.9999, 0.0001, -0.0001],
+        ]),
+    })
+    sdf = spark.createDataFrame(pts)
+    con = duckdb.connect()
+    con.register("t", pts)
+    for prec in (1, 4, 5, 6):
+        s = (
+            sdf.select(geohash(F.col("lon"), F.col("lat"), prec).alias("g"))
+            .toPandas()["g"].tolist()
+        )
+        d = con.sql(
+            f"SELECT {geohash_sql('lon', 'lat', prec)} g FROM t"
+        ).df()["g"].tolist()
+        w = [_bisection_geohash(a, b, prec) for a, b in zip(pts.lon, pts.lat)]
+        assert s == w, f"Column path diverges at precision {prec}"
+        assert d == w, f"SQL path diverges at precision {prec}"
+    # published vectors (geohash.org / Niemeyer): ezs42, u4pruy prefix
+    vec = pd.DataFrame({"lon": [-5.6, 10.40744], "lat": [42.6, 57.64911]})
+    got = (
+        spark.createDataFrame(vec)
+        .select(geohash(F.col("lon"), F.col("lat"), 5).alias("g"))
+        .toPandas()["g"].tolist()
+    )
+    assert got == ["ezs42", "u4pru"]

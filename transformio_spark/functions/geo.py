@@ -72,6 +72,34 @@ def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
 
 
+def bearing_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees
+    in [0, 360) clockwise from north (standard spherical forward
+    azimuth: atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ)).
+    Round 5 — the direction half of the geodesic pair whose distance
+    half is :func:`haversine_km`."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlon = rlon2 - rlon1
+    y = F.sin(dlon) * F.cos(rlat2)
+    x = F.cos(rlat1) * F.sin(rlat2) - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlon)
+    # atan2 ∈ (−π, π] → degrees ∈ (−180, 180] → +360 → (180, 540] —
+    # the dividend stays positive, so Spark's and DuckDB's `%` agree.
+    return (F.degrees(F.atan2(y, x)) + F.lit(360.0)) % F.lit(360.0)
+
+
+def bearing_deg_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """SQL-text twin of :func:`bearing_deg` (dialect-shared: runs
+    verbatim under Spark ``F.expr`` and DuckDB)."""
+    dlon = f"(radians({lon2}) - radians({lon1}))"
+    y = f"(sin({dlon}) * cos(radians({lat2})))"
+    x = (
+        f"(cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) * cos({dlon}))"
+    )
+    return f"((degrees(atan2({y}, {x})) + 360.0e0) % 360.0e0)"
+
+
 def projective_predict(H, x: Column, y: Column) -> tuple[Column, Column]:
     """Homography (kernels.transforms.Projective.predict semantics) as
     pure Column arithmetic: (a·x+b·y+c)/(g·x+h·y+i), two rows over the
@@ -490,6 +518,36 @@ def laea_forward_sql(
         f"- {sb0} * cos({beta}) * cos({lam})))"
     )
     return E, N
+
+
+def idw_sql(
+    lon: str,
+    lat: str,
+    centers: list[tuple[float, float]],
+    values: list[float],
+    eps: float = 1e-12,
+) -> str:
+    """Inverse-distance-squared interpolation as ONE shared SQL text:
+    v(p) = Σ v_i w_i / Σ w_i with w_i = 1/(d_i² + eps), d_i the
+    R=6367 haversine to control point i (the reference's geodesic
+    distance, accuracy.py residual convention).  ``eps`` regularizes
+    the exact-hit singularity smoothly (no branch — branchless keeps
+    the text identical and the derivative finite); at 1e-12 km² it
+    perturbs v by < 1e-9 of a value unit anywhere beyond ~1 µm of a
+    control point.
+
+    Scale shape: the control set is a LITERAL expression (broadcast by
+    constant-folding, the same inline-argmin trick as the kNN query) —
+    zero joins, pure whole-stage codegen over 2·|centers| terms.
+    Round 5."""
+    num_terms = []
+    den_terms = []
+    for (clon, clat), v in zip(centers, values):
+        d = haversine_km_sql(lon, lat, dlit_sql(clon), dlit_sql(clat))
+        w = f"(1.0e0 / (({d}) * ({d}) + {dlit_sql(eps)}))"
+        num_terms.append(f"({dlit_sql(v)} * {w})")
+        den_terms.append(w)
+    return f"(({' + '.join(num_terms)}) / ({' + '.join(den_terms)}))"
 
 
 def cea_forward_sql(

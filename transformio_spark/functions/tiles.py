@@ -154,3 +154,88 @@ def cell_parent_sql(cell: str, zoom: int, parent_zoom: int) -> str:
         f"cast((cast({parent_zoom} as bigint) << 58) "
         f"+ ({morton} >> {drop}) as bigint)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash (round 5) — the PUBLISHED base-32 cell encoding (Niemeyer
+# 2008, public domain), alongside the engine-native Morton scheme:
+# interoperable cell keys for joining against external geo datasets.
+# ---------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    if not 1 <= precision <= 10:
+        # 5*10 bits of lon exceeds the exact-product budget past 10
+        raise ValueError(f"geohash precision out of range: {precision}")
+    total = 5 * precision
+    return (total + 1) // 2, total // 2  # lon bits, lat bits
+
+
+def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Geohash string of a point — true geohash domain (lon [-180,180),
+    lat [-90,90)), e4-lattice integer-exact bin math like tile_xy, bit
+    interleave via the Morton magic masks (lon takes the MSB), then 5-bit
+    groups through the published base-32 alphabet.  Pure Column
+    arithmetic — whole-stage codegen, no UDF."""
+    nlon, nlat = _geohash_bits(precision)
+    bx = F.floor((lon_e4(lon) + 1_800_000) * (1 << nlon) / float(LON_SPAN_E4))
+    by = F.floor(
+        (lat_e4(lat) + 900_000) * (1 << nlat) / float(2 * 900_000)
+    )
+    # lat==90 exactly is the one closed-edge input; clamp into range
+    by = F.least(by, F.lit((1 << nlat) - 1))
+    if nlon > nlat:  # odd precision: lon has one extra (lowest) bit
+        val = F.shiftleft(_interleave(F.shiftright(bx, 1), nlat), 1).bitwiseOR(
+            _interleave(by, nlat)
+        )
+        val = F.shiftleft(val, 1).bitwiseOR(bx.bitwiseAND(F.lit(1)))
+    else:
+        val = F.shiftleft(_interleave(bx, nlon), 1).bitwiseOR(
+            _interleave(by, nlat)
+        )
+    alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(val, 5 * (precision - 1 - j))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon: str, lat: str, precision: int = 6) -> str:
+    """SQL-text twin of :func:`geohash` (shared Spark/DuckDB dialect:
+    `<<`, `>>`, `|`, `&` on BIGINT and 1-based substr)."""
+    nlon, nlat = _geohash_bits(precision)
+    bx = (
+        f"floor((cast(round(({lon}) * 10000e0, 0) as bigint) + 1800000) "
+        f"* {1 << nlon} / {float(LON_SPAN_E4)!r}e0)"
+    )
+    by = (
+        f"least(floor((cast(round(({lat}) * 10000e0, 0) as bigint) + 900000) "
+        f"* {1 << nlat} / {float(2 * 900_000)!r}e0), {(1 << nlat) - 1})"
+    )
+    if nlon > nlat:
+        hi = (
+            f"((({_interleave_sql(f'(cast({bx} as bigint) >> 1)', nlat)} << 1) "
+            f"| {_interleave_sql(f'cast({by} as bigint)', nlat)}))"
+        )
+        val = f"(({hi} << 1) | (cast({bx} as bigint) & 1))"
+    else:
+        val = (
+            f"(({_interleave_sql(f'cast({bx} as bigint)', nlon)} << 1) "
+            f"| {_interleave_sql(f'cast({by} as bigint)', nlat)})"
+        )
+    chars = [
+        f"substr('{GEOHASH_B32}', "
+        f"cast((({val} >> {5 * (precision - 1 - j)}) & 31) + 1 as int), 1)"
+        for j in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"

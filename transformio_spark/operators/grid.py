@@ -71,3 +71,77 @@ def focal_sum(
             "focal_sum",
         )
     )
+
+
+def grid_dbscan(
+    cells: DataFrame,
+    min_pts: int,
+    width: int,
+    tx: str = "tx",
+    ty: str = "ty",
+    value: str = "n",
+) -> DataFrame:
+    """Grid-based DBSCAN (round 5): density clusters over a sparse
+    cell table — core cells are cells whose point count reaches
+    ``min_pts``; clusters are the 8-connected components of the core
+    cells (the grid formulation of density clustering: cell = the
+    eps-neighborhood bucket, so the quadratic point-pair search of
+    classic DBSCAN becomes a NEIGHBOR EQUI-JOIN over 4 forward
+    offsets — each adjacent pair emitted exactly once — and the
+    transitive closure reuses operators/dedup.connected_components,
+    label propagation with the large-star/small-star fallback).
+
+    Scale shape: |cells| << |points| (the input is the aggregated
+    tile table), edge generation is spread(×4) → one equi-join on
+    (tx, ty), and the closure is diameter-bounded shuffle rounds —
+    no all-pairs stage anywhere.  Border/noise points of classic
+    DBSCAN map to non-core cells and are excluded by construction.
+
+    Returns one row per cluster: ``cluster_id`` (minimum row-major
+    cell id ``ty*width + tx`` in the cluster), ``n_cells``,
+    ``n_points`` (summed ``value``), and the cluster bbox
+    ``tx_min/tx_max/ty_min/ty_max``."""
+    from .dedup import connected_components
+
+    if min_pts < 1:
+        raise ValueError("grid_dbscan: min_pts must be >= 1")
+    core = cells.where(F.col(value) >= min_pts).select(
+        F.col(tx).alias("tx"),
+        F.col(ty).alias("ty"),
+        F.col(value).alias("n"),
+        (F.col(ty) * width + F.col(tx)).cast("long").alias("cell_id"),
+    )
+    # 4 forward offsets cover each unordered 8-neighbor pair once:
+    # E, SE, S, SW (the backward four are the same pairs reversed).
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1))
+        ]
+    )
+    spread = (
+        core.select("cell_id", "tx", "ty")
+        .withColumn("_o", F.explode(fwd))
+        .select(
+            F.col("cell_id").alias("id_a"),
+            (F.col("tx") + F.col("_o.dx")).alias("tx"),
+            (F.col("ty") + F.col("_o.dy")).alias("ty"),
+        )
+    )
+    pairs = spread.join(
+        core.select(F.col("cell_id").alias("id_b"), "tx", "ty"),
+        on=["tx", "ty"],
+        how="inner",
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    labeled = core.join(
+        labels.withColumnRenamed("id", "cell_id"), on="cell_id", how="left"
+    ).withColumn("comp", F.coalesce(F.col("comp"), F.col("cell_id")))
+    return labeled.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.min("tx").alias("tx_min"),
+        F.max("tx").alias("tx_max"),
+        F.min("ty").alias("ty_min"),
+        F.max("ty").alias("ty_max"),
+    )

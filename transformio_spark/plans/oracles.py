@@ -678,6 +678,160 @@ ORDER BY 1
 """
 
 
+def idw_surface() -> str:
+    """SQL twin of q_idw_surface: the SAME literal-centers IDW
+    expression text and the same tile_xy text."""
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+    from ..functions import tiles
+    from ..functions.geo import idw_sql
+
+    expr = idw_sql(
+        "lon", "lat",
+        [(p[0], p[1]) for p in CHINA22_GEOPOINTS],
+        [float(p[0]) for p in CHINA22_IMPOINTS],
+    )
+    tx, ty = tiles.tile_xy_sql("lon", "lat", 5)
+    return f"""
+WITH {geo_oracle.points_cte()}
+SELECT cast({tx} as bigint) AS tx,
+       cast({ty} as bigint) AS ty,
+       count(*) AS n_points,
+       cast(sum(cast(round({expr} * 1000000e0) as bigint)) as bigint)
+         AS sum_v_e6
+FROM pts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def geohash_counts() -> str:
+    """SQL twin of q_geohash_counts via tiles.geohash_sql — an
+    independent implementation of the same published encoding (the
+    Spark side uses the Column builder, not this text)."""
+    from ..functions import tiles
+    from .queries import GEOHASH_PRECISION
+
+    gh = tiles.geohash_sql("lon", "lat", GEOHASH_PRECISION)
+    return f"""
+WITH {geo_oracle.points_cte()}
+SELECT {gh} AS gh, count(*) AS n_points
+FROM pts
+GROUP BY 1
+ORDER BY n_points DESC, gh
+LIMIT 100
+"""
+
+
+def grid_dbscan() -> str:
+    """SQL twin of q_grid_dbscan: same tile_xy text, relational
+    forward-offset edges, WITH RECURSIVE min-label closure (the
+    neardup_components oracle pattern), isolated core cells kept as
+    singleton clusters via the left join."""
+    from ..functions import tiles
+    from .queries import DBSCAN_MIN_PTS, DBSCAN_ZOOM
+
+    from ..sources import oracle as _src_oracle
+    from ..sources import synthspec
+
+    tx, ty = tiles.tile_xy_sql("lon", "lat", DBSCAN_ZOOM)
+    width = 1 << DBSCAN_ZOOM
+    e = synthspec.point_exprs_sql("doc_num")
+    # points_cte() nests a WITH inside the pts CTE body; under WITH
+    # RECURSIVE DuckDB parses any UNION ALL CTE as anchor/recursive
+    # term and the nested WITH stops binding across branches — so the
+    # same derivation is spelled here with ``ids`` hoisted top-level.
+    return f"""
+WITH RECURSIVE ids AS (SELECT {_src_oracle.DOC_NUM_SQL} AS doc_num FROM lineitem),
+pts AS (
+    SELECT doc_num, 0 AS span_pos,
+           round({e['lon']}, 4) AS lon, round({e['lat']}, 4) AS lat
+    FROM ids
+    UNION ALL
+    SELECT doc_num, 1 AS span_pos,
+           {e['lon2']} AS lon, {e['lat2']} AS lat
+    FROM ids WHERE {e['has_second']}
+),
+core AS (
+    SELECT cast({tx} as bigint) AS tx, cast({ty} as bigint) AS ty,
+           count(*) AS n,
+           cast({ty} as bigint) * {width} + cast({tx} as bigint) AS cell_id
+    FROM pts GROUP BY 1, 2
+    HAVING count(*) >= {DBSCAN_MIN_PTS}
+),
+p AS (
+    SELECT a.cell_id AS id_a, b.cell_id AS id_b
+    FROM core a
+    JOIN (SELECT unnest([struct_pack(dx := 1, dy := 0),
+                         struct_pack(dx := 1, dy := 1),
+                         struct_pack(dx := 0, dy := 1),
+                         struct_pack(dx := -1, dy := 1)], recursive := true)) o
+      ON true
+    JOIN core b ON b.tx = a.tx + o.dx AND b.ty = a.ty + o.dy
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM p
+    UNION
+    SELECT id_b AS u, id_a AS v FROM p
+),
+reach AS (
+    SELECT u AS id, u AS lab FROM edges
+    UNION
+    SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON r.id = e.v
+),
+lab AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+SELECT cast(coalesce(l.comp, c.cell_id) as bigint) AS cluster_id,
+       count(*) AS n_cells,
+       cast(sum(c.n) as bigint) AS n_points,
+       cast(min(c.tx) as bigint) AS tx_min,
+       cast(max(c.tx) as bigint) AS tx_max,
+       cast(min(c.ty) as bigint) AS ty_min,
+       cast(max(c.ty) as bigint) AS ty_max
+FROM core c LEFT JOIN lab l ON l.id = c.cell_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def trajectory_stats() -> str:
+    """SQL twin of q_trajectory_stats: identical track fold, lag
+    window, and the SAME haversine/bearing expression text
+    (functions/geo.haversine_km_sql / bearing_deg_sql) — step meters
+    discretize before the sum, bearing folds to its 45° octant."""
+    from ..functions.geo import bearing_deg_sql, haversine_km_sql
+    from .queries import N_TRACKS
+
+    step_m = (
+        f"cast(round({haversine_km_sql('plon', 'plat', 'lon', 'lat')}"
+        f" * 1000.0e0) as bigint)"
+    )
+    sector = (
+        f"least(cast(floor({bearing_deg_sql('plon', 'plat', 'lon', 'lat')}"
+        f" / 45.0e0) as int), 7)"
+    )
+    return f"""
+WITH {geo_oracle.points_cte()},
+tracked AS (
+  SELECT doc_num % {N_TRACKS} AS track_id, doc_num, span_pos, lon, lat
+  FROM pts
+),
+stepped AS (
+  SELECT track_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM tracked
+  WINDOW w AS (PARTITION BY track_id ORDER BY doc_num, span_pos)
+)
+SELECT cast(track_id as bigint) AS track_id,
+       cast({sector} as bigint) AS sector,
+       count(*) AS n_steps,
+       cast(sum({step_m}) as bigint) AS path_m,
+       cast(max({step_m}) as bigint) AS max_step_m
+FROM stepped
+WHERE plon IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def hotspot_focal() -> str:
     """SQL twin of q_hotspot_focal: same tile_xy text, same
     spread/gather/support-join plan as SQL."""

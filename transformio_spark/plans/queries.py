@@ -1471,6 +1471,151 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_idw_surface(spark, sf_dir) -> DataFrame:
+    """Inverse-distance-weighted interpolation surface (round 5 — the
+    gridding/interpolation primitive adjacent to the reference's TIN:
+    predict a value anywhere from scattered control points, Shepard
+    1968): every extracted point gets the IDW of the china22 GCPs'
+    pixel-x values (R=6367 haversine weights, the reference's distance
+    convention), aggregated to zoom-5 tiles.  The 22 control points
+    are ONE literal expression (functions/geo.idw_sql) — zero joins,
+    pure codegen, constant-folded broadcast — run as F.expr here and
+    verbatim in the DuckDB oracle (the literal-centers algorithmic-
+    oracle pattern the IVF/LSH queries established)."""
+    from ..functions import tiles
+    from ..functions.geo import idw_sql
+    from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
+
+    expr = idw_sql(
+        "lon", "lat",
+        [(p[0], p[1]) for p in CHINA22_GEOPOINTS],
+        [float(p[0]) for p in CHINA22_IMPOINTS],
+    )
+    pts = points_df(spark, sf_dir)
+    tx, ty = tiles.tile_xy(F.col("lon"), F.col("lat"), 5)
+    return (
+        pts.select(
+            tx.alias("tx"), ty.alias("ty"),
+            F.round(F.expr(expr) * 1e6).cast("long").alias("v_e6"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("v_e6").alias("sum_v_e6"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+#: trajectory gate parameter (shared with the oracle): points fold
+#: into this many deterministic tracks (doc_num % N_TRACKS)
+N_TRACKS = 256
+
+#: grid-DBSCAN gate parameters (shared with the oracle)
+DBSCAN_ZOOM = 8
+DBSCAN_MIN_PTS = 3
+
+#: geohash gate parameter (shared with the oracle)
+GEOHASH_PRECISION = 5
+
+
+def q_geohash_counts(spark, sf_dir) -> DataFrame:
+    """Geohash hot-cell ranking (round 5 — the PUBLISHED base-32 cell
+    encoding, Niemeyer 2008, for joining against external geo data;
+    the interoperable sibling of the engine-native Morton cells):
+    every extracted point encoded at precision 5 via
+    functions/tiles.geohash — e4-lattice integer bin math + Morton
+    magic-mask interleave + base-32 lookup, pure Column codegen, no
+    UDF — then count per cell, top 100.  The DuckDB oracle runs the
+    *independently written* SQL-text twin (tiles.geohash_sql), and
+    both are pinned against an iterative-bisection third
+    implementation + published test vectors in
+    tests/test_spark_operators.py."""
+    pts = points_df(spark, sf_dir)
+    return (
+        pts.select(
+            tiles.geohash(F.col("lon"), F.col("lat"), GEOHASH_PRECISION).alias(
+                "gh"
+            )
+        )
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.desc("n_points"), F.asc("gh"))
+        .limit(100)
+    )
+
+
+def q_grid_dbscan(spark, sf_dir) -> DataFrame:
+    """Grid-based density clustering (round 5 — the DBSCAN family
+    primitive, grid formulation): zoom-8 tile counts; cells with >= 3
+    points are core; clusters are 8-connected components of core
+    cells (operators/grid.grid_dbscan — neighbor spread ×4 forward
+    offsets → ONE equi-join on (tx,ty) for edges, then the dedup
+    connected-components machinery: label propagation with the
+    large-star/small-star fallback; no all-pairs stage).  Observables
+    per cluster: cell/point counts + bbox — a wrong offset splits or
+    fuses clusters, a closure bug under-merges.  The DuckDB twin
+    replays edges relationally and closes them with WITH RECURSIVE
+    min-label reachability (the neardup_components oracle pattern)."""
+    from ..functions import tiles
+    from ..operators.grid import grid_dbscan
+
+    pts = points_df(spark, sf_dir)
+    tx, ty = tiles.tile_xy(F.col("lon"), F.col("lat"), DBSCAN_ZOOM)
+    counts = (
+        pts.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid_dbscan(counts, DBSCAN_MIN_PTS, width=1 << DBSCAN_ZOOM)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("tx_min").cast("long").alias("tx_min"),
+            F.col("tx_max").cast("long").alias("tx_max"),
+            F.col("ty_min").cast("long").alias("ty_min"),
+            F.col("ty_max").cast("long").alias("ty_max"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_trajectory_stats(spark, sf_dir) -> DataFrame:
+    """Per-track compass-sector step statistics (round 5 — the
+    GPS/AIS trajectory primitive: consecutive-point hop distance +
+    initial great-circle bearing, the sequence layer above the
+    reference's pairwise distance, accuracy.py:9-41): extracted
+    points fold into 256 deterministic tracks (doc_num % 256) ordered
+    by (doc_num, span_pos); operators/trajectory.track_steps pairs
+    each point with its predecessor via ONE window lag (single
+    shuffle on track_id, no self-join), computes the integer-meter
+    haversine hop and the bearing's 45° compass octant, and
+    trajectory_sector_stats aggregates hops/path/longest per
+    (track, sector).  Distance discretizes to meters BEFORE summing
+    and bearing reaches the observable only through its octant, so
+    libm-vs-JVM trig ulps cannot move a value (margins verified in
+    tests/test_spark_operators.py).  The DuckDB twin replays the
+    identical lag window over the same shared expression text."""
+    from ..operators.trajectory import trajectory_sector_stats
+
+    pts = points_df(spark, sf_dir).withColumn(
+        "track_id", (F.col("doc_num") % N_TRACKS).cast("long")
+    )
+    return (
+        trajectory_sector_stats(pts)
+        .select(
+            "track_id",
+            F.col("sector").cast("long").alias("sector"),
+            "n_steps",
+            F.col("path_m").cast("long").alias("path_m"),
+            F.col("max_step_m").cast("long").alias("max_step_m"),
+        )
+        .orderBy("track_id", "sector")
+    )
+
+
 def q_hotspot_focal(spark, sf_dir) -> DataFrame:
     """Sparse-grid focal sum (round 5 — hotspot smoothing / raster
     convolution at the cell level): zoom-10 tile counts through
