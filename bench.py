@@ -66,6 +66,7 @@ EXTRA = [
     "trajectory_stats",       # window-lag track steps, single shuffle
     "grid_dbscan",            # density clusters, neighbor equi-join + CC
     "geohash_counts",         # published base32 encoding, pure codegen
+    "gc_waypoints",           # slerp route densification, explode + agg
     "sequence_packing",       # two-level distributed prefix-sum packing
     "stratified_sample",      # md5-deterministic per-stratum sampling
     "event_sessions",         # gap sessionization, single-shuffle windows

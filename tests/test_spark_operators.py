@@ -537,3 +537,98 @@ def test_geohash_three_way_and_published_vectors(spark):
         .toPandas()["g"].tolist()
     )
     assert got == ["ezs42", "u4pru"]
+
+
+def test_gc_interpolate_properties(spark):
+    """Slerp pins: f=0 and f=1 return the endpoints; the midpoint is
+    equidistant from both ends; waypoints lie ON the great circle
+    (distance(p1,w) + distance(w,p2) == distance(p1,p2)); the
+    degenerate coincident pair returns itself; and Spark/DuckDB agree
+    on the shared text to float ulps."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions.geo import gc_interpolate_sql, haversine_km_sql
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "lon0": np.concatenate([rng.uniform(-179, 179, 300), [12.5]]),
+        "lat0": np.concatenate([rng.uniform(-84, 84, 300), [-33.25]]),
+        "lon1": np.concatenate([rng.uniform(-179, 179, 300), [12.5]]),
+        "lat1": np.concatenate([rng.uniform(-84, 84, 300), [-33.25]]),
+        "fv": np.concatenate([rng.uniform(0, 1, 300), [0.5]]),
+    })
+    glon, glat = gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
+    d01 = haversine_km_sql("lon0", "lat0", "lon1", "lat1")
+    d0w = haversine_km_sql("lon0", "lat0", "wlon", "wlat")
+    dw1 = haversine_km_sql("wlon", "wlat", "lon1", "lat1")
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.sql(f"""
+WITH w AS (SELECT *, {glon} AS wlon, {glat} AS wlat FROM t)
+SELECT wlon, wlat, {d01} AS d01, {d0w} AS d0w, {dw1} AS dw1, fv FROM w
+""").df()
+    # on-arc additivity + fractional split
+    np.testing.assert_allclose(out.d0w + out.dw1, out.d01, atol=1e-6)
+    np.testing.assert_allclose(out.d0w, out.fv * out.d01, atol=1e-6)
+    # degenerate pair → itself
+    assert out.wlon.iloc[-1] == 12.5 and out.wlat.iloc[-1] == -33.25
+    # endpoints at f=0 / f=1
+    df2 = df.assign(fv=0.0)
+    con.register("t2", df2)
+    e0 = con.sql(f"SELECT {glon} AS wlon, {glat} AS wlat FROM t2").df()
+    np.testing.assert_allclose(e0.wlon, df2.lon0, atol=1e-9)
+    np.testing.assert_allclose(e0.wlat, df2.lat0, atol=1e-9)
+    # cross-engine agreement on the identical text
+    s = (
+        spark.createDataFrame(df)
+        .select(F.expr(glon).alias("wlon"), F.expr(glat).alias("wlat"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(s.wlon.values, out.wlon.values, atol=1e-9)
+    np.testing.assert_allclose(s.wlat.values, out.wlat.values, atol=1e-9)
+
+
+def test_gc_waypoint_gate_margins(spark, sf_dir):
+    """Same per-row drift-vs-margin property as the trajectory gate:
+    each waypoint's e4-lattice snap (inside tile_xy) must sit further
+    from its .5 rounding boundary than the cross-engine drift of THAT
+    waypoint's coordinates."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions.geo import gc_interpolate_sql
+    from transformio_spark.sources import synthspec
+    from transformio_spark.plans.queries import WAYPOINT_FRACTIONS
+
+    e = synthspec.point_exprs_sql("doc_num")
+    glon, glat = gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
+    fracs = ", ".join(f"cast({f!r} as double)" for f in WAYPOINT_FRACTIONS)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    d = con.sql(f"""
+WITH ids AS (SELECT (l_orderkey * 8 + l_linenumber) AS doc_num FROM lineitem),
+paired AS (
+    SELECT round({e['lon']}, 4) AS lon0, round({e['lat']}, 4) AS lat0,
+           {e['lon2']} AS lon1, {e['lat2']} AS lat1
+    FROM ids WHERE {e['has_second']}
+),
+t AS (SELECT p.*, f.fv FROM paired p, (SELECT unnest([{fracs}]) AS fv) f)
+SELECT lon0, lat0, lon1, lat1, fv, {glon} AS wlon, {glat} AS wlat FROM t
+ORDER BY lon0, lat0, lon1, lat1, fv
+""").df()
+    assert len(d) > 300
+    s = (
+        spark.createDataFrame(d[["lon0", "lat0", "lon1", "lat1", "fv"]])
+        .select(F.expr(glon).alias("wlon"), F.expr(glat).alias("wlat"))
+        .toPandas()
+    )
+    for col in ("wlon", "wlat"):
+        v = d[col].values * 1e4
+        drift = np.abs(d[col].values - s[col].values) * 1e4
+        margin = np.abs(v - np.floor(v) - 0.5)
+        assert (drift < np.maximum(margin, 1e-12) * 1e-2).all(), (
+            col, drift.max(), margin[drift.argmax()])

@@ -88,6 +88,51 @@ def bearing_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     return (F.degrees(F.atan2(y, x)) + F.lit(360.0)) % F.lit(360.0)
 
 
+def gc_interpolate_sql(
+    lon1: str, lat1: str, lon2: str, lat2: str, f: str
+) -> tuple[str, str]:
+    """Great-circle (slerp) interpolation at fraction ``f`` ∈ [0,1]
+    along the geodesic from point 1 to point 2, as ONE shared SQL
+    text per output coordinate (round 5 — the route-densification
+    primitive: waypoints, midpoints, resampled tracks).
+
+    Standard spherical linear interpolation on unit vectors:
+    A = sin((1−f)·d)/sin d, B = sin(f·d)/sin d over the central
+    angle d (haversine form, the same formulation as
+    :func:`haversine_km`), then back through atan2.  The degenerate
+    d = 0 case (coincident e4-lattice points) short-circuits to point
+    1 via CASE — both engines take the branch on the identical
+    comparison, no 0/0.
+
+    Returns (lon_expr, lat_expr) in degrees, lon ∈ (−180, 180]."""
+    d = (
+        f"(2.0e0 * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
+        f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+    )
+    a = f"(sin((1.0e0 - ({f})) * {d}) / sin({d}))"
+    b = f"(sin(({f}) * {d}) / sin({d}))"
+    x = (
+        f"({a} * cos(radians({lat1})) * cos(radians({lon1})) "
+        f"+ {b} * cos(radians({lat2})) * cos(radians({lon2})))"
+    )
+    y = (
+        f"({a} * cos(radians({lat1})) * sin(radians({lon1})) "
+        f"+ {b} * cos(radians({lat2})) * sin(radians({lon2})))"
+    )
+    z = f"({a} * sin(radians({lat1})) + {b} * sin(radians({lat2})))"
+    lon = (
+        f"(CASE WHEN {d} = 0.0e0 THEN ({lon1}) "
+        f"ELSE degrees(atan2({y}, {x})) END)"
+    )
+    lat = (
+        f"(CASE WHEN {d} = 0.0e0 THEN ({lat1}) "
+        f"ELSE degrees(atan2({z}, sqrt({x} * {x} + {y} * {y}))) END)"
+    )
+    return lon, lat
+
+
 def bearing_deg_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """SQL-text twin of :func:`bearing_deg` (dialect-shared: runs
     verbatim under Spark ``F.expr`` and DuckDB)."""

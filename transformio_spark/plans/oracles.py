@@ -704,6 +704,39 @@ ORDER BY 1, 2
 """
 
 
+def gc_waypoints() -> str:
+    """SQL twin of q_gc_waypoints: the same pair CTE as
+    span_pair_distance, a LATERAL unnest of the fractions, and the
+    VERBATIM gc_interpolate_sql / tile_xy_sql texts."""
+    from ..functions import tiles
+    from ..functions.geo import gc_interpolate_sql
+    from ..sources import synthspec
+    from .queries import WAYPOINT_FRACTIONS, WAYPOINT_ZOOM
+
+    e = synthspec.point_exprs_sql("doc_num")
+    glon, glat = gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
+    tx, ty = tiles.tile_xy_sql("wlon", "wlat", WAYPOINT_ZOOM)
+    fracs = ", ".join(f"cast({f!r} as double)" for f in WAYPOINT_FRACTIONS)
+    return f"""
+WITH ids AS (SELECT (l_orderkey * 8 + l_linenumber) AS doc_num FROM lineitem),
+paired AS (
+    SELECT round({e['lon']}, 4) AS lon0, round({e['lat']}, 4) AS lat0,
+           {e['lon2']} AS lon1, {e['lat2']} AS lat1
+    FROM ids WHERE {e['has_second']}
+),
+way AS (
+    SELECT cast(round(f.fv * 4) as bigint) AS fq,
+           {glon} AS wlon, {glat} AS wlat
+    FROM paired, (SELECT unnest([{fracs}]) AS fv) f
+)
+SELECT fq, cast({tx} as bigint) AS tx, cast({ty} as bigint) AS ty,
+       count(*) AS n_points
+FROM way
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def geohash_counts() -> str:
     """SQL twin of q_geohash_counts via tiles.geohash_sql — an
     independent implementation of the same published encoding (the

@@ -1518,6 +1518,46 @@ DBSCAN_MIN_PTS = 3
 #: geohash gate parameter (shared with the oracle)
 GEOHASH_PRECISION = 5
 
+#: great-circle waypoint gate parameters (shared with the oracle)
+WAYPOINT_FRACTIONS = (0.25, 0.5, 0.75)
+WAYPOINT_ZOOM = 5
+
+
+def q_gc_waypoints(spark, sf_dir) -> DataFrame:
+    """Great-circle route densification (round 5): each doc's
+    primary→secondary span pair interpolated at f = ¼, ½, ¾ along the
+    geodesic (functions/geo.gc_interpolate_sql — spherical slerp as
+    ONE shared expression text per coordinate, degenerate
+    coincident-point pairs short-circuited by CASE), waypoints
+    aggregated to zoom-5 tiles per fraction.  Narrow plan: row-local
+    pair extraction (no self-join), a 3-way explode, pure codegen
+    slerp, one groupBy — the only shuffle.  The DuckDB twin runs the
+    VERBATIM texts over the formula-derived pair CTE; the e4 snap
+    inside tile_xy is the only continuous→discrete edge, and the
+    per-waypoint drift-vs-margin property is pinned in
+    tests/test_spark_operators.py."""
+    docs = synth.docs_spans(spark, sf_dir)
+    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    pairs = extract.span_pair_points(docs, affine_a)
+    glon, glat = geo.gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
+    way = (
+        pairs.withColumn(
+            "fv", F.explode(F.array(*[F.lit(f) for f in WAYPOINT_FRACTIONS]))
+        )
+        .select(
+            F.round(F.col("fv") * 4).cast("long").alias("fq"),
+            F.expr(glon).alias("wlon"),
+            F.expr(glat).alias("wlat"),
+        )
+    )
+    tx, ty = tiles.tile_xy(F.col("wlon"), F.col("wlat"), WAYPOINT_ZOOM)
+    return (
+        way.select("fq", tx.alias("tx"), ty.alias("ty"))
+        .groupBy("fq", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("fq", "tx", "ty")
+    )
+
 
 def q_geohash_counts(spark, sf_dir) -> DataFrame:
     """Geohash hot-cell ranking (round 5 — the PUBLISHED base-32 cell
