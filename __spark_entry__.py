@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": _shipped(q.q_trajectory_stats),
         "grid_dbscan": _shipped(q.q_grid_dbscan),
         "geohash_counts": _shipped(q.q_geohash_counts),
+        "s2_cells": _shipped(q.q_s2_cells),
+        "hexbin_counts": _shipped(q.q_hexbin_counts),
         "gc_waypoints": _shipped(q.q_gc_waypoints),
         "sequence_packing": _shipped(q.q_sequence_packing),
         "event_sessions": _shipped(q.q_event_sessions),
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_stats": oracles.trajectory_stats(),
         "grid_dbscan": oracles.grid_dbscan(),
         "geohash_counts": oracles.geohash_counts(),
+        "s2_cells": oracles.s2_cells(),
+        "hexbin_counts": oracles.hexbin_counts(),
         "gc_waypoints": oracles.gc_waypoints(),
         "sequence_packing": oracles.sequence_packing(),
         "event_sessions": oracles.event_sessions(),

@@ -116,6 +116,11 @@ def test_no_cartesian_or_row_python_in_any_query(spark, sf_dir):
     bnlj_ok = {
         "embedding_knn_l2",  # deliberate brute-force cross, query side broadcast
         "hotspot_share",     # crossJoin of two SINGLE-ROW aggregates (scalar join)
+        # interval-overlap pruning join of tile bboxes vs the BROADCAST
+        # 25-row region dim: O(|tiles|*25) predicate evals in one pass,
+        # zero shuffles — the per-pixel work stays in the JVM fold after
+        # the prune (operators/raster.zonal_stats docstring).
+        "zonal_stats",
     }
     for name, fn in sorted(entrymod.queries().items()):
         plan = _plan(fn(spark, sf_dir))

@@ -1772,3 +1772,69 @@ SELECT cast(count(*) as bigint) AS n_points,
        cast(round(max(abs(r)) * 1000000e0) as bigint) AS max_e6
 FROM r
 """
+
+
+def s2_cells() -> str:
+    """Twin of q_s2_cells — independently formulated: the Spark side
+    folds the Hilbert recurrence with F.aggregate; this side walks it
+    as a recursive CTE (functions/s2.s2_hilbert_cte_sql), one
+    recursion step per level, over face/i/j computed by plain nested
+    SELECTs from the same published S2 spec."""
+    from ..functions import s2
+    from ..sources import oracle as _src_oracle
+    from ..sources import synthspec
+    from .queries import S2_CELL_LEVEL
+
+    lvl = S2_CELL_LEVEL
+    e = synthspec.point_exprs_sql("doc_num")
+    # points_cte() nests a WITH inside the pts body; under WITH
+    # RECURSIVE that stops binding (see grid_dbscan), so ``ids`` is
+    # hoisted top-level here with the same derivation.
+    return f"""
+WITH RECURSIVE ids AS (SELECT {_src_oracle.DOC_NUM_SQL} AS doc_num FROM lineitem),
+pts AS (
+    SELECT doc_num, 0 AS span_pos,
+           round({e['lon']}, 4) AS lon, round({e['lat']}, 4) AS lat
+    FROM ids
+    UNION ALL
+    SELECT doc_num, 1 AS span_pos,
+           {e['lon2']} AS lon, {e['lat2']} AS lat
+    FROM ids WHERE {e['has_second']}
+),
+fij AS ({s2.s2_face_ij_sql('lon', 'lat', lvl)}),
+{s2.s2_hilbert_cte_sql(lvl)}
+SELECT face * {4 ** lvl} + d AS s2_cell, count(*) AS n_points
+FROM hil WHERE remaining = 0
+GROUP BY 1
+ORDER BY n_points DESC, s2_cell
+LIMIT 100
+"""
+
+
+def hexbin_counts() -> str:
+    """Twin of q_hexbin_counts via the SAME shared SQL texts
+    (cea_forward_sql + functions/hexgrid builders) — the ease_cells
+    cross-engine-exactness strategy."""
+    from ..functions import hexgrid
+    from ..functions.geo import cea_forward_sql
+    from .queries import HEX_LAT_TS, HEX_SIZE_M
+
+    mx, my = cea_forward_sql("lon", "lat", HEX_LAT_TS)
+    qf, rf = hexgrid.hex_qr_frac_sql("mx", "my", HEX_SIZE_M)
+    stage = hexgrid.hex_round_stage_sql("qf", "rf")
+    hq, hr = hexgrid.hex_qr_final_sql()
+    stage_cols = ", ".join(f"{v} AS {k}" for k, v in stage.items())
+    return f"""
+WITH {geo_oracle.points_cte()},
+m AS (SELECT {mx} AS mx, {my} AS my FROM pts),
+fr AS (SELECT mx, my, {qf} AS qf, {rf} AS rf FROM m),
+st AS (SELECT mx, my, {stage_cols} FROM fr),
+hx AS (SELECT mx, my, {hq} AS hq, {hr} AS hr FROM st)
+SELECT hq, hr, count(*) AS n_points,
+       cast(sum(cast(round(mx) as bigint)) as bigint) AS sum_mx_m,
+       cast(sum(cast(round(my) as bigint)) as bigint) AS sum_my_m
+FROM hx
+GROUP BY 1, 2
+ORDER BY n_points DESC, hq, hr
+LIMIT 100
+"""

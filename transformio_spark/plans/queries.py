@@ -2052,3 +2052,74 @@ def trained_ivf_centroids(n_cells: int = 16, seed: int = 11) -> list[list[float]
         U /= _np.linalg.norm(U, axis=1, keepdims=True)
         _TIN_GATE_CACHE[key] = ivf_train_centroids(U, n_cells=n_cells, seed=seed)
     return _TIN_GATE_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# S2-style spherical cells + H3-style hex bins (round 5 — the north
+# star's "H3/S2 cell encoding" leg, spherical + hexagonal schemes)
+# --------------------------------------------------------------------------
+
+S2_CELL_LEVEL = 12   # 4096x4096 per cube face, ~2.4 km cells
+HEX_SIZE_M = 500_000.0  # hex circumradius on the equal-area plane
+HEX_LAT_TS = 30.0       # EASE-Grid 2.0 standard parallel (EPSG:6933)
+
+
+def q_s2_cells(spark, sf_dir) -> DataFrame:
+    """S2-style spherical cell ranking (round 5): every extracted
+    point → cube face via largest-|xyz|-component, quadratic ST
+    (S2's area-equalizing projection), level-12 (i, j), position on
+    the per-face Hilbert curve — all pure Column expressions; the
+    Hilbert walk is a 4-state-transducer LUT unrolled into plain
+    codegen (functions/s2.py, no higher-order functions, no
+    Python).  The DuckDB oracle walks the
+    SAME published recurrence as an independently written recursive
+    CTE, so the hash gate cross-checks two formulations.  Unlike the
+    Morton tile_id, consecutive ids are unit-step adjacent cells —
+    repartitionByRange(s2_cell) is the engine's best spatial-locality
+    partitioner; parent rollup stays bit arithmetic (s2.s2_parent,
+    nesting pinned in tests/test_s2_hex.py)."""
+    from ..functions import s2
+
+    pts = points_df(spark, sf_dir)
+    return (
+        s2.with_s2_cell(pts, F.col("lon"), F.col("lat"), S2_CELL_LEVEL)
+        .select("s2_cell")
+        .groupBy("s2_cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.desc("n_points"), F.asc("s2_cell"))
+        .limit(100)
+    )
+
+
+def q_hexbin_counts(spark, sf_dir) -> DataFrame:
+    """H3-style equal-area hexagonal binning (round 5): points →
+    ellipsoidal cylindrical equal-area plane (EPSG 9835, the shared
+    text already green via ease_cells) → pointy-top axial hex cell
+    via the published cube-round (functions/hexgrid.py) — ONE shared
+    SQL text per stage, run as F.expr here and verbatim in the
+    oracle.  Whole-stage codegen, single shuffle at the aggregate;
+    per-point meter rounding keeps the coordinate sums ulp-safe."""
+    from ..functions import hexgrid
+    from ..functions.geo import cea_forward_sql
+
+    mx_sql, my_sql = cea_forward_sql("lon", "lat", HEX_LAT_TS)
+    qf_sql, rf_sql = hexgrid.hex_qr_frac_sql("mx", "my", HEX_SIZE_M)
+    stage = hexgrid.hex_round_stage_sql("qf", "rf")
+    hq_sql, hr_sql = hexgrid.hex_qr_final_sql()
+    out = (
+        points_df(spark, sf_dir)
+        .withColumns({"mx": F.expr(mx_sql), "my": F.expr(my_sql)})
+        .withColumns({"qf": F.expr(qf_sql), "rf": F.expr(rf_sql)})
+        .withColumns({k: F.expr(v) for k, v in stage.items()})
+        .withColumns({"hq": F.expr(hq_sql), "hr": F.expr(hr_sql)})
+    )
+    return (
+        out.groupBy("hq", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.round(F.col("mx"), 0).cast("long")).alias("sum_mx_m"),
+            F.sum(F.round(F.col("my"), 0).cast("long")).alias("sum_my_m"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("hq"), F.asc("hr"))
+        .limit(100)
+    )
