@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": _shipped(q.q_grid_dbscan),
         "geohash_counts": _shipped(q.q_geohash_counts),
         "s2_cells": _shipped(q.q_s2_cells),
+        "s2_rollup": _shipped(q.q_s2_rollup),
         "hexbin_counts": _shipped(q.q_hexbin_counts),
         "gc_waypoints": _shipped(q.q_gc_waypoints),
         "sequence_packing": _shipped(q.q_sequence_packing),
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_affine_checksums": _shipped(q.q_warp_affine_checksums),
         "loo_residuals": _shipped(q.q_loo_residuals),
         "quality_by_lang": _shipped(q.q_quality_by_lang),
+        "pii_redaction": _shipped(q.q_pii_redaction),
         "token_stats": _shipped(q.q_token_stats),
         "lang_id_counts": _shipped(q.q_lang_id_counts),
         "auto_choose_model": _shipped(q.q_auto_choose_model),
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_dbscan": oracles.grid_dbscan(),
         "geohash_counts": oracles.geohash_counts(),
         "s2_cells": oracles.s2_cells(),
+        "s2_rollup": oracles.s2_rollup(),
         "hexbin_counts": oracles.hexbin_counts(),
         "gc_waypoints": oracles.gc_waypoints(),
         "sequence_packing": oracles.sequence_packing(),
@@ -159,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "tin_transform": oracles.tin_transform(),
         "model_accuracy": oracles.model_accuracy(),
         "quality_by_lang": oracles.quality_by_lang(),
+        "pii_redaction": oracles.pii_redaction(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),

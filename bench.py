@@ -72,8 +72,10 @@ EXTRA = [
     "event_sessions",         # gap sessionization, single-shuffle windows
     "decontamination",        # benchmark n-gram overlap, broadcast join
     "repetition_scores",      # repeated-ngram quality signal, pure Column
-    "s2_cells",               # spherical cube-face Hilbert cells, JVM fold
+    "s2_cells",               # spherical cube-face Hilbert cells, LUT codegen
+    "s2_rollup",              # hierarchical S2 re-key, Hilbert-prefix bit shift
     "hexbin_counts",          # equal-area hex binning, shared-SQL codegen
+    "pii_redaction",          # regex scrub stage, JVM regexp_count/replace
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

@@ -229,3 +229,82 @@ def repetition_ratio_sql(text: str, n: int = 3) -> str:
         f"i -> array_to_string(list_slice({w}, i, i+{n - 1}), ' ')))"
     )
     return f"(1.0 - cast(len({grams}) as double) / {total})"
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 5 — the scrubbing stage of a
+# training-data curation pipeline; reference scope: none, additive)
+# ---------------------------------------------------------------------------
+
+#: Patterns kept inside the Java-regex ∩ RE2 common subset (character
+#: classes, bounded quantifiers, grouping — no lookaround, no
+#: backrefs, no word boundaries) so Spark and DuckDB match
+#: identically.  Used via F.lit on the Spark side (no SQL string
+#: escaping) and f-string interpolation into DuckDB SQL (regular
+#: DuckDB strings do no backslash processing).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+PII_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+#: Redaction applies in this fixed order on both engines.
+PII_RULES = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+]
+
+
+def pii_inject_sql(doc_id: str, text: str) -> str:
+    """Deterministic PII synthesis (the documents corpus is word-salad
+    with no natural PII): appends an email / E.164-ish phone / IPv4,
+    keyed on doc_id residues, as ONE SQL text valid verbatim in BOTH
+    engines (concat/lpad/%/floor only — the synth_media strategy:
+    construction is shared, DETECTION is the thing independently
+    verified)."""
+    return (
+        f"concat({text},"
+        f" CASE WHEN {doc_id} % 5 = 0 THEN concat(' reach me at user',"
+        f" cast({doc_id} as varchar(24)), '@mail-example.org') ELSE '' END,"
+        f" CASE WHEN {doc_id} % 7 = 0 THEN concat(' call +1-415-',"
+        f" lpad(cast({doc_id} % 1000 as varchar(8)), 3, '0'), '-',"
+        f" lpad(cast({doc_id} % 10000 as varchar(8)), 4, '0')) ELSE '' END,"
+        f" CASE WHEN {doc_id} % 11 = 0 THEN concat(' host 10.',"
+        f" cast({doc_id} % 256 as varchar(8)), '.',"
+        f" cast(cast(floor({doc_id} / 256.0) as bigint) % 256 as varchar(8)), '.',"
+        f" cast({doc_id} % 250 + 1 as varchar(8))) ELSE '' END)"
+    )
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row PII hit counts (JVM regexp_count, no Python)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Redacted text: the PII_RULES replacements in order (Spark's
+    regexp_replace is replace-all)."""
+    out = text
+    for pat, tok in PII_RULES:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_counts_sql(text: str) -> dict[str, str]:
+    """DuckDB twins of pii_counts (RE2 via regexp_extract_all)."""
+    return {
+        "n_emails": f"len(regexp_extract_all({text}, '{PII_EMAIL_RE}'))",
+        "n_phones": f"len(regexp_extract_all({text}, '{PII_PHONE_RE}'))",
+        "n_ips": f"len(regexp_extract_all({text}, '{PII_IPV4_RE}'))",
+    }
+
+
+def pii_redact_sql(text: str) -> str:
+    """DuckDB twin of pii_redact ('g' = replace-all, same rule order)."""
+    out = text
+    for pat, tok in PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{tok}', 'g')"
+    return out

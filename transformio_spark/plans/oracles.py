@@ -920,6 +920,41 @@ ORDER BY 1
 """
 
 
+def pii_redaction() -> str:
+    """Twin of q_pii_redaction: identical shared injection text, then
+    RE2-side detection/redaction (regexp_extract_all + replace-all
+    regexp_replace in the same rule order)."""
+    from ..functions.text import pii_counts_sql, pii_inject_sql, pii_redact_sql
+
+    cnts = pii_counts_sql("t2")
+    red = pii_redact_sql("t2")
+    return f"""
+WITH injected AS (
+    SELECT lang, {pii_inject_sql('doc_id', 'text')} AS t2
+    FROM documents
+),
+per_doc AS (
+    SELECT lang,
+           {cnts['n_emails']} AS n_emails,
+           {cnts['n_phones']} AS n_phones,
+           {cnts['n_ips']} AS n_ips,
+           length({red}) AS len_after,
+           md5({red}) AS fp
+    FROM injected
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_emails) as bigint) AS n_emails,
+       cast(sum(n_phones) as bigint) AS n_phones,
+       cast(sum(n_ips) as bigint) AS n_ips,
+       cast(sum(len_after) as bigint) AS sum_len_after,
+       cast(count(distinct fp) as bigint) AS n_distinct_redacted
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,
@@ -1808,6 +1843,49 @@ FROM hil WHERE remaining = 0
 GROUP BY 1
 ORDER BY n_points DESC, s2_cell
 LIMIT 100
+"""
+
+
+def s2_rollup() -> str:
+    """Twin of q_s2_rollup: fine cells from the recursive-CTE Hilbert
+    walk (as in s2_cells), then the SAME two-level rollup with the
+    face/prefix re-key spelled as plain integer arithmetic
+    (face = c div 4^12, parent = face*4^7 + (d >> 2*(12-7)))."""
+    from ..functions import s2
+    from ..sources import oracle as _src_oracle
+    from ..sources import synthspec
+    from .queries import S2_CELL_LEVEL
+
+    lvl, plvl = S2_CELL_LEVEL, 7
+    fine_mod = 4 ** lvl
+    shift = 2 * (lvl - plvl)
+    e = synthspec.point_exprs_sql("doc_num")
+    return f"""
+WITH RECURSIVE ids AS (SELECT {_src_oracle.DOC_NUM_SQL} AS doc_num FROM lineitem),
+pts AS (
+    SELECT doc_num, 0 AS span_pos,
+           round({e['lon']}, 4) AS lon, round({e['lat']}, 4) AS lat
+    FROM ids
+    UNION ALL
+    SELECT doc_num, 1 AS span_pos,
+           {e['lon2']} AS lon, {e['lat2']} AS lat
+    FROM ids WHERE {e['has_second']}
+),
+fij AS ({s2.s2_face_ij_sql('lon', 'lat', lvl)}),
+{s2.s2_hilbert_cte_sql(lvl)},
+fine AS (
+    SELECT face * {fine_mod} + d AS s2_cell, count(*) AS n
+    FROM hil WHERE remaining = 0
+    GROUP BY 1
+)
+SELECT (s2_cell // {fine_mod}) * {4 ** plvl}
+       + ((s2_cell % {fine_mod}) >> {shift}) AS s2_cell7,
+       cast(sum(n) as bigint) AS n_points,
+       count(*) AS n_child_cells
+FROM fine
+GROUP BY 1
+ORDER BY n_points DESC, s2_cell7
+LIMIT 200
 """
 
 

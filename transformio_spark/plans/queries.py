@@ -231,6 +231,44 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark, sf_dir) -> DataFrame:
+    """PII scrub stage (round 5 — the redaction pass of a curation
+    pipeline): deterministic email/phone/IPv4 payloads are injected
+    into the word-salad corpus by ONE shared SQL text keyed on doc_id
+    (functions/text.pii_inject_sql — the synth_media strategy:
+    construction shared, detection independent), then each engine
+    DETECTS and REDACTS with its own regex machinery (Spark
+    regexp_count/regexp_replace on Java regex vs DuckDB
+    regexp_extract_all/regexp_replace-'g' on RE2; patterns live in
+    the engines' common subset).  Per-language counts, redacted-text
+    lengths, and the distinct-redacted-fingerprint count pin the
+    replacement output itself, not just the hit counts.  Pure Column
+    JVM path — no UDFs."""
+    docs = synth.raw_documents(spark, sf_dir)
+    t2 = F.expr(text.pii_inject_sql("doc_id", "text"))
+    cnts = text.pii_counts(F.col("t2"))
+    red = text.pii_redact(F.col("t2"))
+    return (
+        docs.select("lang", t2.alias("t2"))
+        .select(
+            "lang",
+            *[c.alias(k) for k, c in cnts.items()],
+            F.length(red).alias("len_after"),
+            F.md5(red).alias("fp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("n_emails"),
+            F.sum("n_phones").cast("long").alias("n_phones"),
+            F.sum("n_ips").cast("long").alias("n_ips"),
+            F.sum("len_after").cast("long").alias("sum_len_after"),
+            F.countDistinct("fp").alias("n_distinct_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_length_quantiles(spark, sf_dir) -> DataFrame:
     """Per-language EXACT interpolated quantiles of document length
     (round 5 — corpus length-distribution profiling, the statistic a
@@ -2088,6 +2126,39 @@ def q_s2_cells(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy(F.desc("n_points"), F.asc("s2_cell"))
         .limit(100)
+    )
+
+
+def q_s2_rollup(spark, sf_dir) -> DataFrame:
+    """Hierarchical S2 rollup (round 5): level-12 spherical cells are
+    pre-aggregated (the massive-reduction first groupBy), then
+    re-keyed to level 7 by PURE BIT ARITHMETIC (functions/s2.s2_parent
+    — Hilbert prefixes nest, no recomputation from coordinates) and
+    re-aggregated.  The spherical twin of tile_rollup: together they
+    pin the 'hypertable rollup' pattern on both the planar Morton and
+    the spherical Hilbert index.  The DuckDB oracle re-keys the fine
+    cell ids from its independently formulated recursive-CTE walk with
+    the same face/prefix arithmetic spelled as plain SQL."""
+    from ..functions import s2
+
+    fine = (
+        s2.with_s2_cell(
+            points_df(spark, sf_dir), F.col("lon"), F.col("lat"), S2_CELL_LEVEL
+        )
+        .groupBy("s2_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        fine.withColumn(
+            "s2_cell7", s2.s2_parent(F.col("s2_cell"), S2_CELL_LEVEL, 7)
+        )
+        .groupBy("s2_cell7")
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_child_cells"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("s2_cell7"))
+        .limit(200)
     )
 
 
