@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loo_residuals": _shipped(q.q_loo_residuals),
         "quality_by_lang": _shipped(q.q_quality_by_lang),
         "pii_redaction": _shipped(q.q_pii_redaction),
+        "unigram_nll": _shipped(q.q_unigram_nll),
         "token_stats": _shipped(q.q_token_stats),
         "lang_id_counts": _shipped(q.q_lang_id_counts),
         "auto_choose_model": _shipped(q.q_auto_choose_model),
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "model_accuracy": oracles.model_accuracy(),
         "quality_by_lang": oracles.quality_by_lang(),
         "pii_redaction": oracles.pii_redaction(),
+        "unigram_nll": oracles.unigram_nll(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),

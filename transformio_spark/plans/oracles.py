@@ -920,6 +920,38 @@ ORDER BY 1
 """
 
 
+def unigram_nll() -> str:
+    """Twin of q_unigram_nll: same two-pass unigram LM in plain SQL
+    (counts CTE, scalar total, per-doc e6-rounded NLL, integer
+    per-language sums)."""
+    from .queries import NLL_FLAG_E6
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(string_split_regex(text, ' +')) AS w
+    FROM documents
+),
+tk AS (SELECT doc_id, lang, w FROM toks WHERE w <> ''),
+c AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+tot AS (SELECT cast(sum(c) as double) AS t FROM c),
+per_doc AS (
+    SELECT lang,
+           cast(round((ln((SELECT t FROM tot)) - avg(ln(cast(c.c as double))))
+                      * 1e6) as bigint) AS nll_e6
+    FROM tk JOIN c USING (w)
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(nll_e6) as bigint) AS sum_nll_e6,
+       cast(sum(case when nll_e6 > {NLL_FLAG_E6} then 1 else 0 end) as bigint)
+           AS n_flagged
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def pii_redaction() -> str:
     """Twin of q_pii_redaction: identical shared injection text, then
     RE2-side detection/redaction (regexp_extract_all + replace-all

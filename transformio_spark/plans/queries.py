@@ -231,6 +231,60 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+#: per-doc mean unigram NLL above this (e6-scaled nats) flags a doc
+#: as out-of-distribution — the CCNet-style perplexity-filter rule.
+NLL_FLAG_E6 = 3420000
+
+
+def q_unigram_nll(spark, sf_dir) -> DataFrame:
+    """Unigram-LM perplexity filter (round 5 — the CCNet-style
+    quality gate of a training-data pipeline: score each document by
+    its mean token negative-log-likelihood under a language model
+    trained on the corpus itself, flag outliers).  Two relational
+    passes: global unigram counts (one hash aggregate over the token
+    explosion — the vocabulary, not the corpus, leaves the shuffle),
+    then tokens⋈counts (AQE broadcasts the vocab-sized side) and a
+    per-doc mean; ln(total) enters as ONE driver scalar (a 1-number
+    reduction, same class as the raster bounds collect).  Per-doc NLL
+    is e6-rounded to a bigint BEFORE the per-language aggregation, so
+    the final sums are integer — order-independent across engines.
+    No UDFs anywhere."""
+    import math as _math
+
+    docs = synth.raw_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " +")).alias("w"),
+    ).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    per_doc = (
+        toks.join(counts, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.lit(_math.log(float(total))) - F.avg(F.log(F.col("c")))
+            ).alias("nll")
+        )
+        .select(
+            "lang",
+            F.round(F.col("nll") * 1e6).cast("long").alias("nll_e6"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nll_e6").alias("sum_nll_e6"),
+            F.sum(
+                (F.col("nll_e6") > NLL_FLAG_E6).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_pii_redaction(spark, sf_dir) -> DataFrame:
     """PII scrub stage (round 5 — the redaction pass of a curation
     pipeline): deterministic email/phone/IPv4 payloads are injected
