@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_lang": _shipped(q.q_quality_by_lang),
         "pii_redaction": _shipped(q.q_pii_redaction),
         "unigram_nll": _shipped(q.q_unigram_nll),
+        "inverted_index": _shipped(q.q_inverted_index),
         "token_stats": _shipped(q.q_token_stats),
         "lang_id_counts": _shipped(q.q_lang_id_counts),
         "auto_choose_model": _shipped(q.q_auto_choose_model),
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_lang": oracles.quality_by_lang(),
         "pii_redaction": oracles.pii_redaction(),
         "unigram_nll": oracles.unigram_nll(),
+        "inverted_index": oracles.inverted_index(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),

@@ -77,6 +77,7 @@ EXTRA = [
     "hexbin_counts",          # equal-area hex binning, shared-SQL codegen
     "pii_redaction",          # regex scrub stage, JVM regexp_count/replace
     "unigram_nll",            # CCNet-style perplexity filter, two-pass LM
+    "inverted_index",         # BM25-prep postings build, two hash aggs
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

@@ -920,6 +920,36 @@ ORDER BY 1
 """
 
 
+def inverted_index() -> str:
+    """Twin of q_inverted_index: same (term, doc) tf aggregate; the
+    posting head via max(row(tf, -doc_id)) so tie-breaks match."""
+    return """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+    FROM documents
+),
+tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+per_doc AS (
+    SELECT w, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2
+),
+terms AS (
+    SELECT w,
+           count(*) AS df,
+           cast(sum(tf) as bigint) AS tf_total,
+           max(struct_pack(tf := tf, nd := -doc_id)) AS top
+    FROM per_doc
+    GROUP BY 1
+)
+SELECT w, df, tf_total,
+       cast(top.tf as bigint) AS top_tf,
+       cast(-(top.nd) as bigint) AS top_doc,
+       cast(round((ln((SELECT count(*) FROM documents)) - ln(df)) * 1e6)
+            as bigint) AS idf_e6
+FROM terms
+ORDER BY df DESC, w
+"""
+
+
 def unigram_nll() -> str:
     """Twin of q_unigram_nll: same two-pass unigram LM in plain SQL
     (counts CTE, scalar total, per-doc e6-rounded NLL, integer

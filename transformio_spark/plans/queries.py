@@ -236,6 +236,52 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
 NLL_FLAG_E6 = 3420000
 
 
+def q_inverted_index(spark, sf_dir) -> DataFrame:
+    """Inverted-index / BM25-prep build (round 5 — the retrieval leg
+    of a curation stack: per-term document frequency, corpus tf, the
+    head of the posting list, and e6-scaled idf).  Shape at scale:
+    explode → ONE (term, doc) hash aggregate (map-side partial
+    combine does the heavy lifting — only distinct (term, doc) pairs
+    shuffle), then a vocab-sized per-term aggregate; the posting-list
+    head is a max of a (tf, -doc_id) struct so ties break to the
+    LOWEST doc id deterministically on both engines — no sort, no
+    window, no UDF.  idf = ln(n_docs/df) with n_docs folded in as one
+    driver scalar (1-number reduction)."""
+    import math as _math
+
+    docs = synth.raw_documents(spark, sf_dir)
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_doc.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.max(F.struct(F.col("tf"), (-F.col("doc_id")).alias("nd"))).alias(
+                "_top"
+            ),
+        )
+        .select(
+            "w",
+            "df",
+            "tf_total",
+            F.col("_top.tf").alias("top_tf"),
+            (-F.col("_top.nd")).cast("long").alias("top_doc"),
+            F.round(
+                (F.lit(_math.log(float(n_docs))) - F.log(F.col("df"))) * 1e6
+            )
+            .cast("long")
+            .alias("idf_e6"),
+        )
+        .orderBy(F.desc("df"), F.asc("w"))
+    )
+
+
 def q_unigram_nll(spark, sf_dir) -> DataFrame:
     """Unigram-LM perplexity filter (round 5 — the CCNet-style
     quality gate of a training-data pipeline: score each document by
