@@ -1861,7 +1861,9 @@ def q_poly_roundtrip(spark, sf_dir) -> DataFrame:
     reference transforms.py:201-206), applied forward then backward to
     the doc points; reports round-trip euclidean error stats.  The
     o>=2 inverse is an ESTIMATE (GDAL-style), so the error is small
-    but nonzero — the distribution is the observable.  Rows-only."""
+    but nonzero — the distribution is the observable.  Fully oracled
+    since round 3 (plans/oracles.poly_roundtrip: both matrices embed
+    as literals, identical forward→inverse arithmetic in SQL)."""
     import json as _json
 
     from ..fixtures import CHINA22_GEOPOINTS, CHINA22_IMPOINTS
