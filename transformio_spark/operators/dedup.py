@@ -333,6 +333,7 @@ def _star_components(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
     prev = sym.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
+    prev_count = prev.count()
     for _ in range(max_rounds):
         both = prev.union(prev.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: m = min(N(u) ∪ {u}); edge (v, m) for every v > u
@@ -356,11 +357,16 @@ def _star_components(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            cur.subtract(prev).count() + prev.subtract(cur).count()
-        )
-        prev = cur
-        if changed == 0:
+        # both sides are distinct row sets, so equality is
+        # |cur| == |prev| AND cur \ prev == ∅ — one cheap count on the
+        # fresh checkpoint plus one anti-join, instead of the two full
+        # subtract jobs this replaced (round 5: ~30% per-round cost)
+        cur_count = cur.count()
+        changed = cur_count != prev_count or not cur.join(
+            prev, ["u", "v"], "left_anti"
+        ).isEmpty()
+        prev, prev_count = cur, cur_count
+        if not changed:
             break
     else:
         raise RuntimeError(
