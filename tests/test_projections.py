@@ -227,6 +227,26 @@ def test_mollweide_column_twin_matches_kernel(spark):
     np.testing.assert_allclose(pdf.y.values, ky, atol=1e-6)
 
 
+def test_mollweide_staged_bit_equal_to_fold(spark):
+    """The chained-projection Newton unroll (compiler staged path)
+    must be BIT-equal to the F.aggregate fold it replaces — same op
+    order, same 30 steps, only the physical execution differs."""
+    from transformio_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(GRID_LON, GRID_LAT)],
+        "lon double, lat double",
+    )
+    fx, fy = geo.mollweide_forward(F.col("lon"), F.col("lat"))
+    fold = df.select("lon", "lat", fx.alias("x"), fy.alias("y")).toPandas()
+    sdf, sx, sy = geo.mollweide_forward_staged(
+        df, F.col("lon"), F.col("lat")
+    )
+    staged = sdf.select("lon", "lat", sx.alias("x"), sy.alias("y")).toPandas()
+    assert (fold.x.values == staged.x.values).all()
+    assert (fold.y.values == staged.y.values).all()
+
+
 def test_mollweide_sql_twin_bit_equal_to_kernel():
     import duckdb
     import pandas as pd

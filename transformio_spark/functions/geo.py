@@ -215,6 +215,46 @@ def mollweide_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
     return x, y
 
 
+def mollweide_forward_staged(df, lon: Column, lat: Column, prefix: str = "_mw_"):
+    """df-level twin of :func:`mollweide_forward` with the Newton loop
+    UNROLLED into chained projections instead of the interpreted
+    F.aggregate fold: each step rewrites one materialized accumulator
+    column, so every reference inside a step is a cheap attribute (the
+    functions/s2.with_s2_cell staging pattern — CollapseProject keeps
+    the split because the accumulator is non-cheap and consumed three
+    times per step) and the whole solve runs in whole-stage codegen.
+    Identical op order to the fold and the numpy kernel, so values are
+    bit-equal (pinned in tests/test_projections.py).  Returns
+    (df_with_temp_columns, x_col, y_col); the caller drops ``prefix``
+    columns after projecting its outputs."""
+    from ..kernels.projections import MOLL_NEWTON_ITERS, R_SPHERE
+
+    pi = 3.141592653589793
+    acc_name, lam, cc = prefix + "acc", prefix + "lam", prefix + "c"
+    df = df.withColumns(
+        {
+            lam: F.radians(lon),
+            cc: F.lit(pi) * F.sin(F.radians(lat)),
+            acc_name: F.radians(lat).cast("double"),
+        }
+    )
+    for _ in range(MOLL_NEWTON_ITERS):
+        a = F.col(acc_name)
+        df = df.withColumn(
+            acc_name,
+            a - (a + F.sin(a) - F.col(cc)) / (F.lit(1.0) + F.cos(a)),
+        )
+    thp = (
+        F.when(F.col(cc) == F.lit(pi), F.lit(pi))
+        .when(F.col(cc) == F.lit(-pi), F.lit(-pi))
+        .otherwise(F.col(acc_name))
+    )
+    th = thp / F.lit(2.0)
+    x = F.lit(2.0 * 2.0 ** 0.5 / pi * R_SPHERE) * F.col(lam) * F.cos(th)
+    y = F.lit(2.0 ** 0.5 * R_SPHERE) * F.sin(th)
+    return df, x, y
+
+
 def mollweide_inverse(x: Column, y: Column) -> tuple[Column, Column]:
     """Mollweide meters -> lon/lat deg (closed form, no iteration) —
     codegen twin of kernels.projections.mollweide_inverse."""

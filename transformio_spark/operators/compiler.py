@@ -102,6 +102,22 @@ def transform_columns(model, x: Column, y: Column) -> tuple[Column, Column]:
     return x, y
 
 
+def _compile_staged(leg, prefix: str):
+    """df-level builder for legs whose Column form is an iterative
+    fold: returns fn(df, x, y) -> (df, x', y'), or None.  Staging
+    unrolls the iteration into chained projections over materialized
+    accumulator attributes — whole-stage codegen instead of an
+    interpreted F.aggregate lambda (~3x on the Mollweide gate query at
+    sf0.1); values stay bit-equal to the fold (same op order)."""
+    if isinstance(leg, kt.MapProjection):
+        pair = (kt._crs_code(leg.fromcrs), kt._crs_code(leg.tocrs))
+        if pair == ("EPSG:4326", "ESRI:54009"):
+            return lambda df, x, y: geo.mollweide_forward_staged(
+                df, x, y, prefix=prefix
+            )
+    return None
+
+
 def with_transformed_columns(
     df: DataFrame,
     model,
@@ -110,6 +126,31 @@ def with_transformed_columns(
     out_x: str = "pred_x",
     out_y: str = "pred_y",
 ) -> DataFrame:
-    """DataFrame convenience over transform_columns."""
-    px, py = transform_columns(model, F.col(x), F.col(y))
-    return df.withColumns({out_x: px, out_y: py})
+    """DataFrame convenience over transform_columns — additionally
+    routes fold-based legs through their staged (chained-projection)
+    form, which a pure Column composition cannot express."""
+    from . import udfs
+
+    legs = model.transforms if isinstance(model, kt.Chain) else [model]
+    cx, cy = F.col(x), F.col(y)
+    prefixes = []
+    for i, leg in enumerate(legs):
+        prefix = f"_stg{i}_"
+        staged = _compile_staged(leg, prefix)
+        if staged is not None:
+            df, cx, cy = staged(df, cx, cy)
+            prefixes.append(prefix)
+            continue
+        built = compile_columns(leg)
+        if built is not None:
+            cx, cy = built(cx, cy)
+        else:
+            s = udfs.transform_xy(json.dumps(leg.to_json()), cx, cy)
+            cx, cy = s["px"], s["py"]
+    out = df.withColumns({out_x: cx, out_y: cy})
+    temp = [
+        c
+        for c in out.columns
+        if any(c.startswith(p) for p in prefixes)
+    ]
+    return out.drop(*temp) if temp else out
