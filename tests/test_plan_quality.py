@@ -162,3 +162,55 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     plan = _plan(out)
     n_ex = len(set(re.findall(r"\(\d+\) Exchange", plan)))
     assert n_ex == 1, f"expected exactly 1 shuffle, plan had {n_ex}"
+
+
+def test_s2_hex_pii_plans_are_narrow(spark, sf_dir):
+    """Round-5 additions: the spherical index, hex binning, and PII
+    scrub are single-aggregate narrow plans — exactly ONE hash
+    exchange (the groupBy; orderBy+limit compiles to
+    TakeOrderedAndProject, no range shuffle), zero joins, all
+    whole-stage codegen (no interpreted higher-order aggregate in the
+    per-row path)."""
+    import re
+
+    for qfn in (q.q_s2_cells, q.q_hexbin_counts):
+        plan = _plan(qfn(spark, sf_dir))
+        assert "Join" not in plan, qfn.__name__
+        # source repartition + the aggregation exchange; orderBy+limit
+        # is TakeOrderedAndProject (no range shuffle)
+        n_ex = len(set(re.findall(r"\(\d+\) Exchange", plan)))
+        assert n_ex <= 2, (qfn.__name__, plan)
+    pii = _plan(q.q_pii_redaction(spark, sf_dir))
+    assert "Join" not in pii
+    # countDistinct = two-phase aggregate (2 exchanges) + the full
+    # orderBy's range exchange; nothing else
+    n_ex = len(set(re.findall(r"\(\d+\) Exchange", pii)))
+    assert n_ex <= 4, pii
+
+
+def test_lm_and_index_plans_shuffle_on_keys_only(spark, sf_dir):
+    """unigram_nll and inverted_index: hash aggregates + one
+    vocab-keyed equi-join (unigram) — never a cartesian/nested-loop,
+    and the big side shuffles on the aggregate keys only."""
+    nll = _plan(q.q_unigram_nll(spark, sf_dir))
+    assert "CartesianProduct" not in nll
+    assert "BroadcastNestedLoopJoin" not in nll
+    inv = _plan(q.q_inverted_index(spark, sf_dir))
+    assert "Join" not in inv  # pure two-level aggregate
+    assert "CartesianProduct" not in inv
+
+
+def test_mollweide_staged_plan_has_no_interpreted_fold(spark, sf_dir):
+    """The staged Newton unroll must keep the Mollweide gate query
+    free of the interpreted F.aggregate lambda (round-5 rewrite:
+    9.1s -> 3.2s at sf0.1)."""
+    df = q.q_mollweide_cells(spark, sf_dir)
+    # the fold's signature is the array_repeat dummy-element carrier;
+    # expression-level detail lives in the optimized plan, not the
+    # formatted operator list
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the fold's signature: an aggregate( HOF over an array_repeat
+    # dummy-element carrier.  (Row-local filter() HOFs from the span
+    # corpus construction are fine — they're not per-iteration math.)
+    assert "array_repeat" not in opt
+    assert "aggregate(" not in opt
