@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _shipped(q.q_pii_redaction),
         "unigram_nll": _shipped(q.q_unigram_nll),
         "inverted_index": _shipped(q.q_inverted_index),
+        "doc_chunks": _shipped(q.q_doc_chunks),
         "token_stats": _shipped(q.q_token_stats),
         "lang_id_counts": _shipped(q.q_lang_id_counts),
         "auto_choose_model": _shipped(q.q_auto_choose_model),
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": oracles.pii_redaction(),
         "unigram_nll": oracles.unigram_nll(),
         "inverted_index": oracles.inverted_index(),
+        "doc_chunks": oracles.doc_chunks(),
         "token_stats": oracles.token_stats(),
         "lang_id_counts": oracles.lang_id_counts(),
         "dedup_exact": oracles.dedup_exact(),

@@ -78,6 +78,7 @@ EXTRA = [
     "pii_redaction",          # regex scrub stage, JVM regexp_count/replace
     "unigram_nll",            # CCNet-style perplexity filter, two-pass LM
     "inverted_index",         # BM25-prep postings build, two hash aggs
+    "doc_chunks",             # sliding-window chunker, array codegen
     # embedding_neardup_pairs is gate-verified but excluded here: its
     # oracle-pinned params (2 planes) degenerate to near-all-pairs on
     # the 2000-vector sf0.1 corpus — not an informative timing

@@ -920,6 +920,43 @@ ORDER BY 1
 """
 
 
+def doc_chunks() -> str:
+    """Twin of q_doc_chunks: generate_series chunk starts +
+    list_slice windows (1-based inclusive end = st+W, matching
+    Spark's slice(arr, st+1, W))."""
+    from .queries import CHUNK_S, CHUNK_W
+
+    return f"""
+WITH t AS (
+    SELECT lang,
+           list_filter(string_split_regex(text, ' +'), x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT lang, toks,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_S}))
+               AS st
+    FROM t
+),
+ch AS (
+    SELECT lang, list_slice(toks, st + 1, st + {CHUNK_W}) AS arr
+    FROM s
+),
+x AS (
+    SELECT lang, len(arr) AS n_toks, array_to_string(arr, ' ') AS chunk
+    FROM ch
+)
+SELECT lang,
+       count(*) AS n_chunks,
+       cast(sum(n_toks) as bigint) AS sum_chunk_tokens,
+       cast(sum(length(chunk)) as bigint) AS sum_chunk_chars,
+       cast(count(distinct md5(chunk)) as bigint) AS n_distinct_chunks
+FROM x
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def inverted_index() -> str:
     """Twin of q_inverted_index: same (term, doc) tf aggregate; the
     posting head via max(row(tf, -doc_id)) so tie-breaks match."""

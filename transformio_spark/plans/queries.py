@@ -236,6 +236,60 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
 NLL_FLAG_E6 = 3420000
 
 
+CHUNK_W = 32   # tokens per chunk
+CHUNK_S = 24   # stride (8-token overlap)
+
+
+def q_doc_chunks(spark, sf_dir) -> DataFrame:
+    """Sliding-window document chunking (round 5 — the
+    RAG/pretraining chunker: fixed token window, fixed overlap).
+    Pure array codegen: tokenize once, sequence() the chunk starts,
+    explode, slice — no UDF, no join; rows grow by ceil(n/stride)
+    per doc before one per-language aggregate.  Chunk-content
+    integrity is pinned by the distinct-md5 count and summed chunk
+    lengths, not just counts — a wrong slice boundary or a dropped
+    overlap changes the hashes.  DuckDB twin: same window arithmetic
+    via generate_series + list_slice (both engines' slice/series are
+    inclusive with identical semantics here)."""
+    docs = synth.raw_documents(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.col("text"), " +"), lambda x: x != F.lit("")
+    )
+    out = (
+        docs.select("lang", toks.alias("toks"))
+        .select(
+            "lang",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("toks") - 1, F.lit(0)),
+                    F.lit(CHUNK_S),
+                )
+            ).alias("st"),
+        )
+        .select(
+            "lang",
+            F.slice(F.col("toks"), F.col("st") + 1, CHUNK_W).alias("arr"),
+        )
+        .select(
+            "lang",
+            F.size("arr").alias("n_toks"),
+            F.array_join("arr", " ").alias("chunk"),
+        )
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("sum_chunk_tokens"),
+            F.sum(F.length("chunk")).cast("long").alias("sum_chunk_chars"),
+            F.countDistinct(F.md5(F.col("chunk"))).alias("n_distinct_chunks"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_inverted_index(spark, sf_dir) -> DataFrame:
     """Inverted-index / BM25-prep build (round 5 — the retrieval leg
     of a curation stack: per-term document frequency, corpus tf, the
