@@ -210,3 +210,56 @@ def test_repetition_ratio_values(spark):
     assert out[1] == pytest.approx(1.0 - 3.0 / 7.0)
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_doc_chunk_windows_match_python_reference():
+    """Chunker boundary semantics (third formulation): the DuckDB
+    twin's generate_series + list_slice windows equal a hand-written
+    Python chunker on edge cases — doc shorter than the window, length
+    an exact multiple of the stride, single-token docs, and the
+    overlap region appearing in consecutive chunks."""
+    import duckdb
+
+    from transformio_spark.plans.queries import CHUNK_S, CHUNK_W
+
+    docs = [
+        "one",                                  # shorter than window
+        " ".join(f"t{i}" for i in range(CHUNK_W)),       # exactly one window
+        " ".join(f"t{i}" for i in range(CHUNK_S * 3)),   # exact stride multiple
+        " ".join(f"t{i}" for i in range(CHUNK_W + 1)),   # one past the window
+        " ".join(f"t{i}" for i in range(200)),           # many chunks
+    ]
+
+    def py_chunks(text):
+        toks = [t for t in text.split(" ") if t]
+        starts = range(0, max(len(toks) - 1, 0) + 1, CHUNK_S)
+        return [" ".join(toks[st : st + CHUNK_W]) for st in starts]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i int, text varchar)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(docs)))
+    rows = con.execute(
+        f"""
+        WITH t AS (SELECT i,
+               list_filter(string_split_regex(text, ' +'), x -> x <> '') AS toks
+               FROM d),
+        s AS (SELECT i, toks,
+              unnest(generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_S}))
+                  AS st
+              FROM t)
+        SELECT i, st,
+               array_to_string(list_slice(toks, st + 1, st + {CHUNK_W}), ' ')
+        FROM s ORDER BY i, st
+        """
+    ).fetchall()
+    got = {}
+    for i, _, chunk in rows:
+        got.setdefault(i, []).append(chunk)
+    for i, text in enumerate(docs):
+        assert got[i] == py_chunks(text), (i, got[i], py_chunks(text))
+    # overlap property: consecutive chunks of the long doc share
+    # exactly W - S tokens
+    long_chunks = [c.split(" ") for c in got[4]]
+    for a, b in zip(long_chunks, long_chunks[1:]):
+        if len(b) == CHUNK_W:
+            assert a[CHUNK_S:] == b[: CHUNK_W - CHUNK_S]
