@@ -173,6 +173,10 @@ def test_s2_hex_pii_plans_are_narrow(spark, sf_dir):
     per-row path)."""
     import re
 
+    # pin the COLD plan: earlier test modules cache the shared points
+    # extraction, and the InMemoryRelation substitution shifts the
+    # exchange structure of everything downstream of it
+    spark.catalog.clearCache()
     for qfn in (q.q_s2_cells, q.q_hexbin_counts):
         plan = _plan(qfn(spark, sf_dir))
         assert "Join" not in plan, qfn.__name__
@@ -192,6 +196,7 @@ def test_lm_and_index_plans_shuffle_on_keys_only(spark, sf_dir):
     """unigram_nll and inverted_index: hash aggregates + one
     vocab-keyed equi-join (unigram) — never a cartesian/nested-loop,
     and the big side shuffles on the aggregate keys only."""
+    spark.catalog.clearCache()
     nll = _plan(q.q_unigram_nll(spark, sf_dir))
     assert "CartesianProduct" not in nll
     assert "BroadcastNestedLoopJoin" not in nll
