@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_cells": _shipped(q.q_laea_cells),
         "ease_cells": _shipped(q.q_ease_cells),
         "zonal_stats": _shipped(q.q_zonal_stats),
+        "raster_histogram": _shipped(q.q_raster_histogram),
         "tile_rollup": _shipped(q.q_tile_rollup),
         "length_quantiles": _shipped(q.q_length_quantiles),
         "session_window_overlap": _shipped(q.q_session_window_overlap),
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "laea_cells": oracles.laea_cells(),
         "ease_cells": oracles.ease_cells(),
         "zonal_stats": oracles.zonal_stats(),
+        "raster_histogram": oracles.raster_histogram(),
         "tile_rollup": oracles.tile_rollup(),
         "length_quantiles": oracles.length_quantiles(),
         "session_window_overlap": oracles.session_window_overlap(),

@@ -57,6 +57,7 @@ EXTRA = [
     "laea_cells",             # Lambert azimuthal equal-area, F.expr codegen
     "ease_cells",             # EASE-Grid 2.0 cylindrical equal-area, F.expr codegen
     "zonal_stats",            # per-region raster band sums, broadcast prune + JVM fold
+    "raster_histogram",       # exact per-band histogram, partial-agg collapse
     "tile_rollup",            # two-level Morton rollup, bit-arithmetic re-key
     "length_quantiles",       # exact per-lang percentile (sort-based, not approx)
     "session_window_overlap", # bucketed interval grid join, zero-dedup-shuffle

@@ -604,3 +604,46 @@ def zonal_stats(
         .where(F.col("n_pixels") > 0)
         .orderBy("region_id")
     )
+
+
+def band_histogram(tiles_df: DataFrame) -> DataFrame:
+    """Exact per-band pixel-value histogram over a tiled raster — the
+    contrast-stretch / equalization primitive (reference scope: none;
+    additive raster analytics over the same tile layout warp and
+    zonal_stats use).
+
+    Scale shape: the classic distributed histogram — one linear pass
+    over the tile bytes (per-pixel rows exist only transiently between
+    the explode and the map-side partial aggregate, which collapses
+    every partition to <= 4*256 (band, value) keys), then ONE tiny
+    shuffle of those keys.  All byte decoding is JVM-side
+    (conv(hex(substring)) — the same idiom as the zonal/warp folds);
+    no Python anywhere."""
+    px = tiles_df.select(
+        "px",
+        F.explode(
+            F.sequence(F.lit(0), F.col("w") * F.col("h") - 1)
+        ).alias("i"),
+    )
+
+    def _byte(j):
+        return F.conv(
+            F.hex(F.substring(F.col("px"), j, F.lit(1))), 16, 10
+        ).cast("int")
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("band"),
+                _byte(F.col("i") * 4 + off + 1).alias("value"),
+            )
+            for off, name in enumerate(("r", "g", "b", "a"))
+        ]
+    )
+    return (
+        px.select(F.explode(bands).alias("bv"))
+        .groupBy(
+            F.col("bv.band").alias("band"), F.col("bv.value").alias("value")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pixels"))
+    )

@@ -1054,6 +1054,35 @@ ORDER BY lang
 """
 
 
+def raster_histogram() -> str:
+    """Twin of q_raster_histogram: regenerate the 256x256 raster from
+    its integer formula (same regeneration as zonal_stats/warp) and
+    count (band, value) pairs directly."""
+    from . import queries as q
+
+    size = q.WARP_GATE_SRC
+    return f"""
+WITH px AS (
+    SELECT (c.x * 255) // {size} AS pr,
+           (r.y * 255) // {size} AS pg,
+           ((c.x // 32 + r.y // 32) % 2) * 255 AS pb,
+           255 AS pa
+    FROM (SELECT unnest(range({size})) AS x) c,
+         (SELECT unnest(range({size})) AS y) r
+),
+b AS (
+    SELECT 'r' AS band, cast(pr as int) AS value FROM px
+    UNION ALL SELECT 'g', cast(pg as int) FROM px
+    UNION ALL SELECT 'b', cast(pb as int) FROM px
+    UNION ALL SELECT 'a', cast(pa as int) FROM px
+)
+SELECT band, value, count(*) AS n_pixels
+FROM b
+GROUP BY 1, 2
+ORDER BY band, value
+"""
+
+
 def quality_by_lang() -> str:
     return f"""
 SELECT lang,

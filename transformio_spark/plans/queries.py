@@ -1663,6 +1663,22 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_raster_histogram(spark, sf_dir) -> DataFrame:
+    """Exact per-band raster histogram (round 5 — the contrast-
+    stretch/equalization primitive): one JVM pass over the tile
+    bytes, map-side partial aggregation collapses to <= 4*256 keys
+    before the single shuffle (operators/raster.band_histogram).
+    The DuckDB twin regenerates every pixel from the integer
+    gradient+checker formula (the zonal_stats/warp regeneration) and
+    re-counts — a wrong byte offset or a band swap flips the hash."""
+    from ..operators import raster
+
+    tiles_df = raster.image_to_tiles(
+        spark, warp_gate_image(), tile=WARP_GATE_SRC_TILE
+    )
+    return raster.band_histogram(tiles_df).orderBy("band", "value")
+
+
 def q_idw_surface(spark, sf_dir) -> DataFrame:
     """Inverse-distance-weighted interpolation surface (round 5 — the
     gridding/interpolation primitive adjacent to the reference's TIN:
