@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": _shipped(q.q_embedding_ann_lsh),
         "embedding_neardup_pairs": _shipped(q.q_embedding_neardup_pairs),
         "embedding_ivf": _shipped(q.q_embedding_ivf),
+        "embedding_int8_rerank": _shipped(q.q_embedding_int8_rerank),
         "pricing_summary": _shipped(q.q_pricing_summary),
         "revenue_by_nation": _shipped(q.q_revenue_by_nation),
         "events_by_type": _shipped(q.q_events_by_type),
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": oracles.embedding_ann_lsh(),
         "embedding_neardup_pairs": oracles.embedding_neardup_pairs(),
         "embedding_ivf": oracles.embedding_ivf(),
+        "embedding_int8_rerank": oracles.embedding_int8_rerank(),
         "pricing_summary": oracles.pricing_summary(),
         "revenue_by_nation": oracles.revenue_by_nation(),
         "events_by_type": oracles.events_by_type(),

@@ -41,6 +41,7 @@ EXTRA = [
     "minhash_pairs",          # shingle→minhash→band join→verify
     "token_stats",            # BPE-ish regex + rolling fingerprint
     "embedding_ivf",          # IVF-Flat ANN: cell equi-join + re-rank
+    "embedding_int8_rerank",  # int8 quantized dot -> exact re-rank
     # round-4 additions
     "simhash_buckets",        # md5-bit SimHash (explode+64-sum groupBy)
     "media_features",         # real TIFF/WAV container decode pipeline

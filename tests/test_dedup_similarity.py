@@ -530,3 +530,31 @@ def test_connected_components_deep_chain_auto_fallback(spark):
     direct = {r.id: r.comp for r in dedup.connected_components(
         chain, algorithm="star").collect()}
     assert direct == comps
+
+
+def test_int8_rerank_recall_vs_exact(spark, sf_dir):
+    """The int8 approx stage must be a USEFUL filter, not noise: the
+    exact-rerank output over INT8_CAND quantized-dot candidates has to
+    recover most of the true (unquantized-metric) top-5 — pinned
+    average recall >= 0.8, and the re-ranked d2 values must be the
+    true d2 (quantization affects candidate SELECTION only, never the
+    final metric)."""
+    import __spark_entry__ as entrymod
+
+    exact = {}
+    for r in entrymod.queries()["embedding_knn_l2"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact_d2 = {
+        (r.query_id, r.neighbor_id): r.d2
+        for r in entrymod.queries()["embedding_knn_l2"](spark, sf_dir).collect()
+    }
+    got = {}
+    for r in entrymod.queries()["embedding_int8_rerank"](spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in exact_d2:
+            assert r.d2 == exact_d2[(r.query_id, r.neighbor_id)]
+    recalls = [
+        len(got[q] & exact[q]) / len(exact[q]) for q in exact if q in got
+    ]
+    assert len(recalls) == len(exact)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

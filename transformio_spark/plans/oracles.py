@@ -920,6 +920,71 @@ ORDER BY 1
 """
 
 
+def embedding_int8_rerank() -> str:
+    """Twin of q_embedding_int8_rerank: same symmetric int8 quantizer,
+    same ((dot8 * sa) * sb) * 1e6 association, same two-stage ranking
+    — spelled with DuckDB correlated-unnest sums (the knn_l2 idiom)."""
+    from .queries import INT8_CAND
+
+    return f"""
+WITH b AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> cast(round(cast(x as double) * 1000e0) as bigint)) AS q1k,
+           list_transform(embedding, x -> cast(x as double)) AS xd
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, q1k, xd,
+           (SELECT max(abs(u)) FROM (SELECT unnest(xd) AS u)) AS amax
+    FROM b
+),
+q8 AS (
+    SELECT vec_id, q1k, amax / 127e0 AS scale,
+           list_transform(xd, x -> cast(round(x * 127e0 /
+               (CASE WHEN amax = 0 THEN 1e0 ELSE amax END)) as bigint)) AS v8
+    FROM s
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.q1k AS qa, b.q1k AS qb,
+           cast((SELECT sum(ua * ub)
+                 FROM (SELECT unnest(a.v8) AS ua, unnest(b.v8) AS ub))
+                as bigint) AS dot8,
+           a.scale AS sa, b.scale AS sb
+    FROM q8 a, q8 b
+    WHERE a.vec_id < 10 AND b.vec_id >= 10
+),
+appr AS (
+    SELECT query_id, vec_id, qa, qb,
+           cast(round(((cast(dot8 as double) * sa) * sb) * 1e6) as bigint)
+               AS approx_e6
+    FROM pairs
+),
+cand AS (
+    SELECT query_id, vec_id, qa, qb, approx_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_e6 DESC, vec_id ASC) AS crnk
+    FROM appr
+),
+exact AS (
+    SELECT query_id, vec_id, approx_e6,
+           cast((SELECT sum((ua - ub) * (ua - ub))
+                 FROM (SELECT unnest(qa) AS ua, unnest(qb) AS ub))
+                as bigint) AS d2
+    FROM cand WHERE crnk <= {INT8_CAND}
+),
+ranked AS (
+    SELECT query_id, vec_id, approx_e6, d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, vec_id ASC) AS rnk
+    FROM exact
+)
+SELECT query_id, rnk, vec_id AS neighbor_id, d2, approx_e6
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 def doc_chunks() -> str:
     """Twin of q_doc_chunks: generate_series chunk starts +
     list_slice windows (1-based inclusive end = st+W, matching

@@ -236,6 +236,84 @@ def q_quality_by_lang(spark, sf_dir) -> DataFrame:
 NLL_FLAG_E6 = 3420000
 
 
+INT8_CAND = 20   # approx-stage candidates per query before exact re-rank
+
+
+def q_embedding_int8_rerank(spark, sf_dir) -> DataFrame:
+    """Quantized ANN with exact re-rank (round 5 — the
+    memory-bandwidth play of a production embedding store: score
+    candidates on per-vector symmetric int8 quantization — 4x less
+    data moved than float32 — then re-rank the short list exactly).
+    Stage 1: integer dot products of int8 codes, scaled back by the
+    two per-vector scales (pure double arithmetic on identical
+    inputs — bit-deterministic cross-engine), top-INT8_CAND per
+    query.  Stage 2: exact integer squared-L2 on the 1e-3
+    quantization (the embedding_knn_l2 metric) over the candidates
+    only.  Both windows partition on query_id; the corpus side stays
+    unbroadcast (it is the 10^12-row side at scale), the query set is
+    broadcast.  Output carries BOTH scores so the oracle pins the
+    quantizer, the approx ranking, and the re-rank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    denom = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax)
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000.0, 0).cast("long"),
+        ).alias("q1k"),
+        (amax / F.lit(127.0)).alias("scale"),
+        F.transform(xd, lambda x: F.round(x * 127.0 / denom, 0).cast("long")).alias(
+            "v8"
+        ),
+    )
+    queries = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q1k").alias("qa"),
+        F.col("scale").alias("sa"),
+        F.col("v8").alias("va"),
+    )
+    pairs = base.where(F.col("vec_id") >= 10).join(F.broadcast(queries))
+    dot8 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("v8"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    approx = F.round(
+        dot8.cast("double") * F.col("sa") * F.col("scale") * F.lit(1e6), 0
+    ).cast("long")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_e6"), F.asc("vec_id")
+    )
+    cand = (
+        pairs.select(
+            "query_id", "vec_id", "qa", "q1k", approx.alias("approx_e6")
+        )
+        .withColumn("crnk", F.row_number().over(w1))
+        .where(F.col("crnk") <= INT8_CAND)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q1k"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", "approx_e6", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("neighbor_id"),
+            "d2",
+            "approx_e6",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 CHUNK_W = 32   # tokens per chunk
 CHUNK_S = 24   # stride (8-token overlap)
 
