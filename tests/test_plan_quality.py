@@ -115,6 +115,10 @@ def test_no_cartesian_or_row_python_in_any_query(spark, sf_dir):
 
     bnlj_ok = {
         "embedding_knn_l2",  # deliberate brute-force cross, query side broadcast
+        # same deliberate cross: int8 candidate stage scores every
+        # corpus row against the BROADCAST 10-query set before the
+        # top-20 window prunes
+        "embedding_int8_rerank",
         "hotspot_share",     # crossJoin of two SINGLE-ROW aggregates (scalar join)
         # interval-overlap pruning join of tile bboxes vs the BROADCAST
         # 25-row region dim: O(|tiles|*25) predicate evals in one pass,
