@@ -25,6 +25,21 @@ from ..kernels import Affine
 _NUM = r"(-?[0-9]+\.?[0-9]*)"
 
 
+def _parse_ref(ref):
+    """Split a ``<kind>:<x>,<y>`` media_ref into (kind, x, y) with
+    substring arithmetic — the codegen-friendly equivalent of the
+    original three regexp_extract calls (same values on every
+    well-formed ref; pinned equal to the regex path over the full
+    corpus in tests/test_extract_fastpath.py).  Java regex evaluation
+    was ~2x the cost of the two substring_index passes."""
+    payload = F.substring_index(ref, ":", -1)
+    return (
+        F.substring_index(ref, ":", 1),
+        F.substring_index(payload, ",", 1).cast("double"),
+        F.substring_index(payload, ",", -1).cast("double"),
+    )
+
+
 def media_points(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Explode media spans into (doc_id, doc_num, span_pos, ref_kind,
     raw_x, raw_y [, *carry]).  span_pos is the media-span ordinal
@@ -39,14 +54,15 @@ def media_points(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         ).alias("span_pos", "span"),
     )
     ref = F.col("span.media_ref")
+    kind, raw_x, raw_y = _parse_ref(ref)
     return media.select(
         "doc_id",
         "doc_num",
         *carry,
         "span_pos",
-        F.regexp_extract(ref, r"^(geo|px):", 1).alias("ref_kind"),
-        F.regexp_extract(ref, rf"^[a-z]+:{_NUM},", 1).cast("double").alias("raw_x"),
-        F.regexp_extract(ref, rf",{_NUM}$", 1).cast("double").alias("raw_y"),
+        kind.alias("ref_kind"),
+        raw_x.alias("raw_x"),
+        raw_y.alias("raw_y"),
     )
 
 
@@ -63,6 +79,28 @@ def fit_px2geo_affine(gcps_df: DataFrame) -> np.ndarray:
     return Affine().fit(sx, sy, dx, dy).A
 
 
+_PX2GEO_CACHE: list = []
+
+
+def px2geo_affine() -> np.ndarray:
+    """The px→geo affine fitted from the literal GCP fixture
+    (sources/synthspec.GCPS_PX_GEO) straight through the numpy parity
+    kernel — bit-identical to ``fit_px2geo_affine(synth.gcps(spark))``
+    (same rows, same order, same lstsq; pinned in
+    tests/test_extract_fastpath.py) with no Spark job: the
+    createDataFrame+collect round trip cost ~0.4 s of driver time per
+    query build.  Memoized — the fixture is a program constant, not
+    data."""
+    if not _PX2GEO_CACHE:
+        from ..sources import synthspec
+
+        sx, sy, dx, dy = (
+            [float(t[i]) for t in synthspec.GCPS_PX_GEO] for i in range(4)
+        )
+        _PX2GEO_CACHE.append(Affine().fit(sx, sy, dx, dy).A)
+    return _PX2GEO_CACHE[0]
+
+
 def span_pair_points(docs: DataFrame, affine_A: np.ndarray) -> DataFrame:
     """Per-doc (primary, secondary) media coordinates in ONE row-local
     pass — no self-join, so duplicate doc keys in the source table
@@ -72,15 +110,12 @@ def span_pair_points(docs: DataFrame, affine_A: np.ndarray) -> DataFrame:
     media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
     ref0 = F.element_at(media, 1)["media_ref"]
     ref1 = F.element_at(media, 2)["media_ref"]
-    kind0 = F.regexp_extract(ref0, r"^(geo|px):", 1)
-    raw_x0 = F.regexp_extract(ref0, rf"^[a-z]+:{_NUM},", 1).cast("double")
-    raw_y0 = F.regexp_extract(ref0, rf",{_NUM}$", 1).cast("double")
+    kind0, raw_x0, raw_y0 = _parse_ref(ref0)
     # fitted affine applied to px primaries (same as extract_coordinates)
     alon, alat = geo.affine_predict(affine_A.tolist(), raw_x0, raw_y0)
     lon0 = F.when(kind0 == "px", F.round(alon, 4)).otherwise(raw_x0)
     lat0 = F.when(kind0 == "px", F.round(alat, 4)).otherwise(raw_y0)
-    lon1 = F.regexp_extract(ref1, rf"^[a-z]+:{_NUM},", 1).cast("double")
-    lat1 = F.regexp_extract(ref1, rf",{_NUM}$", 1).cast("double")
+    _, lon1, lat1 = _parse_ref(ref1)
     return (
         docs.where(F.size(media) >= 2)
         .select(

@@ -31,10 +31,23 @@ def _e(col, n: int = 6):
     return F.round(col * float(10 ** n), 0).cast("long")
 
 
+# (session id, sf_dir) -> the extracted-points DataFrame.  This
+# memoizes the PLAN (an immutable lazy DataFrame), never data: every
+# action over it still recomputes from the parquet inputs.  Rebuilding
+# the identical docs_spans+extract expression tree cost ~0.3 s of
+# driver time per query construction across ~30 gate queries.
+_POINTS_DF_CACHE: dict = {}
+
+
 def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth.docs_spans(spark, sf_dir)
-    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
-    return extract.extract_coordinates(docs, affine_a)
+    key = (id(spark), sf_dir)
+    df = _POINTS_DF_CACHE.get(key)
+    if df is None:
+        docs = synth.docs_spans(spark, sf_dir, media_only=True)
+        affine_a = extract.px2geo_affine()
+        df = extract.extract_coordinates(docs, affine_a)
+        _POINTS_DF_CACHE[key] = df
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -199,8 +212,8 @@ def q_affine_fit(spark, sf_dir) -> DataFrame:
 def q_span_pair_distance(spark, sf_dir) -> DataFrame:
     """Haversine metrics (reference accuracy.py:22-41 formulation,
     R=6367) between each doc's primary and secondary media points."""
-    docs = synth.docs_spans(spark, sf_dir)
-    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    docs = synth.docs_spans(spark, sf_dir, media_only=True)
+    affine_a = extract.px2geo_affine()
     pairs = extract.span_pair_points(docs, affine_a)
     d = geo.haversine_km(F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))
     paired = pairs.select(d.alias("dist_km"))
@@ -1822,8 +1835,8 @@ def q_gc_waypoints(spark, sf_dir) -> DataFrame:
     inside tile_xy is the only continuous→discrete edge, and the
     per-waypoint drift-vs-margin property is pinned in
     tests/test_spark_operators.py."""
-    docs = synth.docs_spans(spark, sf_dir)
-    affine_a = extract.fit_px2geo_affine(synth.gcps(spark))
+    docs = synth.docs_spans(spark, sf_dir, media_only=True)
+    affine_a = extract.px2geo_affine()
     pairs = extract.span_pair_points(docs, affine_a)
     glon, glat = geo.gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
     way = (

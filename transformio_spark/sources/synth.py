@@ -53,7 +53,9 @@ DOC_NUM_SQL = "(l_orderkey * 8 + l_linenumber)"
 _REPARTITION_CACHE: dict = {}
 
 
-def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_spans(
+    spark: SparkSession, sf_dir: str, media_only: bool = False
+) -> DataFrame:
     """The interleaved text+media docs table.
 
     Span layout (doc_num-deterministic, offsets strictly increasing):
@@ -62,6 +64,15 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       2: text  substr(text, 25, 24)   when doc_num%3>=1  offset 48
       3: media geo (secondary point)  when doc_num%3==2  offset 72
       4: text  substr(text, 49, 24)   when doc_num%2==1  offset 96
+
+    ``media_only=True`` (round 6, guide §2.3 "project early") builds
+    ONLY the two media spans — identical media_ref strings, identical
+    per-doc media-span order and count, so any consumer that reads
+    just the media spans (the whole extraction family; the DuckDB
+    pts CTE never models text spans either) gets bit-identical
+    results while skipping the 3 md5 + substring text spans Catalyst
+    cannot prune out of the constructed array (pinned equal in
+    tests/test_extract_fastpath.py).
     """
     e = synthspec.point_exprs_sql("doc_num")
     # The local testdata is a single-row-group parquet file → one scan
@@ -85,24 +96,49 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REPARTITION_CACHE[cache_key] = need
     if need:
         scan = scan.repartition(par, "doc_num")
-    base = scan.selectExpr(
-        "doc_num",
+    # two-stage select: px_col/px_row re-use the already-computed
+    # lon/lat columns instead of re-expanding the CASE derivation text
+    # (e["px_col"] is literally "((<base_lon>) + 180e0) * 100e0", so
+    # staging evaluates the identical double ops on the identical
+    # input — bit-equal, ~2x fewer CASE evaluations per row).
+    text_cols = () if media_only else (
         "concat(md5(cast(doc_num as string)), "
         "md5(cast(doc_num + 1 as string)), "
         "md5(cast(doc_num + 2 as string))) AS text",
+    )
+    base = scan.selectExpr(
+        "doc_num",
+        *text_cols,
         f"{e['lon']} AS lon",
         f"{e['lat']} AS lat",
         f"{e['is_px']} AS is_px",
-        f"{e['px_col']} AS px_col",
-        f"{e['px_row']} AS px_row",
         f"{e['has_second']} AS has_second",
         f"{e['lon2']} AS lon2",
         f"{e['lat2']} AS lat2",
+    ).withColumns(
+        {
+            "px_col": F.expr("(lon + 180e0) * 100e0"),
+            "px_row": F.expr("(lat + 85e0) * 100e0"),
+        }
     )
+    # fixed-scale decimal rendering: cast(double -> decimal(14,s) ->
+    # string) prints the same digits as format_string("%.sf") here
+    # (both round HALF_UP at a scale the values already live on — the
+    # payload lattice is 1e-4 / 1e-2 by construction) without the
+    # java.util.Formatter per-row cost.  String equality with the
+    # %.4f/%.2f rendering over the whole corpus is pinned in
+    # tests/test_extract_fastpath.py.
+    def _fixed(col: str, scale: int):
+        return F.col(col).cast(f"decimal(14,{scale})").cast("string")
+
     primary_ref = F.when(
         F.col("is_px"),
-        F.format_string("px:%.2f,%.2f", F.col("px_col"), F.col("px_row")),
-    ).otherwise(F.format_string("geo:%.4f,%.4f", F.col("lon"), F.col("lat")))
+        F.concat(
+            F.lit("px:"), _fixed("px_col", 2), F.lit(","), _fixed("px_row", 2)
+        ),
+    ).otherwise(
+        F.concat(F.lit("geo:"), _fixed("lon", 4), F.lit(","), _fixed("lat", 4))
+    )
 
     def text_span(start: int, offset: int):
         return F.struct(
@@ -120,22 +156,36 @@ def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(offset).alias("offset"),
         )
 
-    all_spans = F.array(
-        text_span(1, 0),
-        media_span(primary_ref, 24),
-        text_span(25, 48),
-        media_span(
-            F.format_string("geo:%.4f,%.4f", F.col("lon2"), F.col("lat2")), 72
-        ),
-        text_span(49, 96),
+    secondary_ref = F.concat(
+        F.lit("geo:"), _fixed("lon2", 4), F.lit(","), _fixed("lat2", 4)
     )
-    spans = F.filter(
-        all_spans,
-        lambda s, i: (i < 2)
-        | ((i == 2) & (F.col("doc_num") % 3 >= 1))
-        | ((i == 3) & (F.col("doc_num") % 3 == 2))
-        | ((i == 4) & (F.col("doc_num") % 2 == 1)),
-    )
+    if media_only:
+        # same two media spans, same order, same refs, same presence
+        # condition as positions 1 and 3 of the full layout
+        all_spans = F.array(
+            media_span(primary_ref, 24),
+            media_span(secondary_ref, 72),
+        )
+        spans = F.filter(
+            all_spans,
+            lambda s, i: (i == 0)
+            | ((i == 1) & (F.col("doc_num") % 3 == 2)),
+        )
+    else:
+        all_spans = F.array(
+            text_span(1, 0),
+            media_span(primary_ref, 24),
+            text_span(25, 48),
+            media_span(secondary_ref, 72),
+            text_span(49, 96),
+        )
+        spans = F.filter(
+            all_spans,
+            lambda s, i: (i < 2)
+            | ((i == 2) & (F.col("doc_num") % 3 >= 1))
+            | ((i == 3) & (F.col("doc_num") % 3 == 2))
+            | ((i == 4) & (F.col("doc_num") % 2 == 1)),
+        )
     return base.select(
         F.concat(F.lit("doc-"), F.lpad(F.col("doc_num").cast("string"), 12, "0")).alias(
             "doc_id"
