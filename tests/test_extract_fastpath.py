@@ -64,6 +64,79 @@ def test_media_only_docs_extraction_identical(spark, sf_dir):
     assert full.exceptAll(slim).count() == 0
 
 
+def test_span_pair_generator_matches_filter_form(spark, sf_dir):
+    """The round-6 generator-routed span_pair_points returns exactly
+    the rows of the original size()>=2 filter formulation."""
+    a = extract.px2geo_affine()
+    docs = synth.docs_spans(spark, sf_dir)
+    new = extract.span_pair_points(docs, a)
+
+    media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    ref0 = F.element_at(media, 1)["media_ref"]
+    ref1 = F.element_at(media, 2)["media_ref"]
+    kind0 = F.regexp_extract(ref0, r"^(geo|px):", 1)
+    raw_x0 = F.regexp_extract(ref0, rf"^[a-z]+:{_NUM},", 1).cast("double")
+    raw_y0 = F.regexp_extract(ref0, rf",{_NUM}$", 1).cast("double")
+    from transformio_spark.functions import geo
+
+    alon, alat = geo.affine_predict(a.tolist(), raw_x0, raw_y0)
+    lon0 = F.when(kind0 == "px", F.round(alon, 4)).otherwise(raw_x0)
+    lat0 = F.when(kind0 == "px", F.round(alat, 4)).otherwise(raw_y0)
+    lon1 = F.regexp_extract(ref1, rf"^[a-z]+:{_NUM},", 1).cast("double")
+    lat1 = F.regexp_extract(ref1, rf",{_NUM}$", 1).cast("double")
+    old = docs.where(F.size(media) >= 2).select(
+        "doc_id",
+        "doc_num",
+        lon0.alias("lon0"),
+        lat0.alias("lat0"),
+        lon1.alias("lon1"),
+        lat1.alias("lat1"),
+    )
+    assert new.schema == old.schema
+    assert new.count() == old.count() > 0
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_gc_interpolate_staged_bit_equals_inline(spark, sf_dir):
+    """The round-6 staged slerp (gc_interpolate_stages) returns
+    bit-identical doubles to the inline gc_interpolate_sql text the
+    oracle keeps, over every span pair of the corpus (incl. the
+    degenerate d=0 CASE) at all three gate fractions."""
+    from transformio_spark.functions import geo
+
+    docs = synth.docs_spans(spark, sf_dir, media_only=True)
+    pairs = extract.span_pair_points(docs, extract.px2geo_affine())
+    # degenerate coincident pair exercises the d=0 short-circuit
+    extra = spark.createDataFrame(
+        [("d", 0, 10.5, -3.25, 10.5, -3.25)],
+        "doc_id string, doc_num long, lon0 double, lat0 double, "
+        "lon1 double, lat1 double",
+    )
+    pairs = pairs.unionByName(extra)
+    pairs = pairs.withColumn(
+        "fv", F.explode(F.array(*[F.lit(f) for f in (0.25, 0.5, 0.75)]))
+    )
+    ilon, ilat = geo.gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
+    stages, slon, slat = geo.gc_interpolate_stages(
+        "lon0", "lat0", "lon1", "lat1", "fv"
+    )
+    staged = pairs
+    for name, expr in stages:
+        staged = staged.withColumn(name, F.expr(expr))
+    both = staged.select(
+        F.expr(ilon).alias("ilon"),
+        F.expr(ilat).alias("ilat"),
+        F.expr(slon).alias("slon"),
+        F.expr(slat).alias("slat"),
+    )
+    n_bad = both.where(
+        (F.col("ilon") != F.col("slon")) | (F.col("ilat") != F.col("slat"))
+    ).count()
+    assert n_bad == 0
+    assert both.count() > 0
+
+
 def test_substring_parse_matches_regex(spark, sf_dir):
     """media_points' substring parse == the original regexp_extract
     parse on every span of the corpus (kind, raw_x, raw_y)."""

@@ -133,6 +133,49 @@ def gc_interpolate_sql(
     return lon, lat
 
 
+def gc_interpolate_stages(
+    lon1: str, lat1: str, lon2: str, lat2: str, f: str
+) -> tuple[list[tuple[str, str]], str, str]:
+    """Staged twin of :func:`gc_interpolate_sql` (round 6, guide §1.2
+    per-task work): the SAME slerp arithmetic with the shared
+    subtrees — the haversine central angle ``d``, the slerp weights
+    ``a``/``b``, the unit-vector components — materialized once as
+    intermediate columns (the tm_forward_stages pattern) instead of
+    textually inlined dozens of times per output.  Returns
+    (stages, lon_expr, lat_expr); every per-value double operation is
+    identical to the inline form, so results are bit-equal (pinned in
+    tests/test_extract_fastpath.py)."""
+    stages = [
+        ("_gc_rlo1", f"radians({lon1})"),
+        ("_gc_rla1", f"radians({lat1})"),
+        ("_gc_rlo2", f"radians({lon2})"),
+        ("_gc_rla2", f"radians({lat2})"),
+        ("_gc_d",
+         "(2.0e0 * asin(sqrt(pow(sin((_gc_rla2 - _gc_rla1) / 2), 2) "
+         "+ cos(_gc_rla1) * cos(_gc_rla2) "
+         "* pow(sin((_gc_rlo2 - _gc_rlo1) / 2), 2))))"),
+        ("_gc_a", f"(sin((1.0e0 - ({f})) * _gc_d) / sin(_gc_d))"),
+        ("_gc_b", f"(sin(({f}) * _gc_d) / sin(_gc_d))"),
+        ("_gc_x",
+         "(_gc_a * cos(_gc_rla1) * cos(_gc_rlo1) "
+         "+ _gc_b * cos(_gc_rla2) * cos(_gc_rlo2))"),
+        ("_gc_y",
+         "(_gc_a * cos(_gc_rla1) * sin(_gc_rlo1) "
+         "+ _gc_b * cos(_gc_rla2) * sin(_gc_rlo2))"),
+        ("_gc_z", "(_gc_a * sin(_gc_rla1) + _gc_b * sin(_gc_rla2))"),
+    ]
+    lon = (
+        f"(CASE WHEN _gc_d = 0.0e0 THEN ({lon1}) "
+        f"ELSE degrees(atan2(_gc_y, _gc_x)) END)"
+    )
+    lat = (
+        f"(CASE WHEN _gc_d = 0.0e0 THEN ({lat1}) "
+        f"ELSE degrees(atan2(_gc_z, "
+        f"sqrt(_gc_x * _gc_x + _gc_y * _gc_y))) END)"
+    )
+    return stages, lon, lat
+
+
 def bearing_deg_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """SQL-text twin of :func:`bearing_deg` (dialect-shared: runs
     verbatim under Spark ``F.expr`` and DuckDB)."""

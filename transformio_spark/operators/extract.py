@@ -54,15 +54,16 @@ def media_points(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         ).alias("span_pos", "span"),
     )
     ref = F.col("span.media_ref")
-    kind, raw_x, raw_y = _parse_ref(ref)
-    return media.select(
+    # stage the payload substring once; raw_x and raw_y each slice it
+    payload = media.withColumn("_payload", F.substring_index(ref, ":", -1))
+    return payload.select(
         "doc_id",
         "doc_num",
         *carry,
         "span_pos",
-        kind.alias("ref_kind"),
-        raw_x.alias("raw_x"),
-        raw_y.alias("raw_y"),
+        F.substring_index(ref, ":", 1).alias("ref_kind"),
+        F.substring_index("_payload", ",", 1).cast("double").alias("raw_x"),
+        F.substring_index("_payload", ",", -1).cast("double").alias("raw_y"),
     )
 
 
@@ -107,25 +108,59 @@ def span_pair_points(docs: DataFrame, affine_A: np.ndarray) -> DataFrame:
     cannot multiply pairs.  Docs without a secondary media span are
     filtered out.  Primary px payloads go through the fitted affine +
     lattice snap like extract_coordinates."""
+    # round 6 restructure (guide §2.4/§7.2): the old formulation
+    # filtered on size(filter(spans,...)) >= 2 — a deterministic
+    # predicate over the constructed array, which Catalyst pushed
+    # below the docs repartition all the way to the (single-split,
+    # single-task) scan, serializing one full span construction over
+    # the whole corpus AND re-expanding the array construction
+    # textually in every derived expression.  Routing the pair through
+    # a generator instead — explode of a when()-guarded one-element
+    # array, which yields zero rows for docs without a secondary media
+    # span — keeps the SAME rows (pinned vs the filter formulation in
+    # tests/test_extract_fastpath.py) but leaves nothing for predicate
+    # pushdown to move: the construction runs once per row, after the
+    # exchange, in parallel.
     media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
-    ref0 = F.element_at(media, 1)["media_ref"]
-    ref1 = F.element_at(media, 2)["media_ref"]
-    kind0, raw_x0, raw_y0 = _parse_ref(ref0)
+    pair = F.when(
+        F.size(media) >= 2,
+        F.array(
+            F.struct(
+                F.element_at(media, 1)["media_ref"].alias("r0"),
+                F.element_at(media, 2)["media_ref"].alias("r1"),
+            )
+        ),
+    )
+    staged = docs.select(
+        "doc_id", "doc_num", F.explode(pair).alias("_p")
+    ).select(
+        "doc_id",
+        "doc_num",
+        F.col("_p.r0").alias("_ref0"),
+        F.col("_p.r1").alias("_ref1"),
+    )
+    kind0, raw_x0, raw_y0 = _parse_ref(F.col("_ref0"))
+    staged = staged.withColumns(
+        {"_kind0": kind0, "_rx0": raw_x0, "_ry0": raw_y0}
+    )
     # fitted affine applied to px primaries (same as extract_coordinates)
-    alon, alat = geo.affine_predict(affine_A.tolist(), raw_x0, raw_y0)
-    lon0 = F.when(kind0 == "px", F.round(alon, 4)).otherwise(raw_x0)
-    lat0 = F.when(kind0 == "px", F.round(alat, 4)).otherwise(raw_y0)
-    _, lon1, lat1 = _parse_ref(ref1)
-    return (
-        docs.where(F.size(media) >= 2)
-        .select(
-            "doc_id",
-            "doc_num",
-            lon0.alias("lon0"),
-            lat0.alias("lat0"),
-            lon1.alias("lon1"),
-            lat1.alias("lat1"),
-        )
+    alon, alat = geo.affine_predict(
+        affine_A.tolist(), F.col("_rx0"), F.col("_ry0")
+    )
+    lon0 = F.when(F.col("_kind0") == "px", F.round(alon, 4)).otherwise(
+        F.col("_rx0")
+    )
+    lat0 = F.when(F.col("_kind0") == "px", F.round(alat, 4)).otherwise(
+        F.col("_ry0")
+    )
+    _, lon1, lat1 = _parse_ref(F.col("_ref1"))
+    return staged.select(
+        "doc_id",
+        "doc_num",
+        lon0.alias("lon0"),
+        lat0.alias("lat0"),
+        lon1.alias("lon1"),
+        lat1.alias("lat1"),
     )
 
 

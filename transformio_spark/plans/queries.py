@@ -1838,16 +1838,23 @@ def q_gc_waypoints(spark, sf_dir) -> DataFrame:
     docs = synth.docs_spans(spark, sf_dir, media_only=True)
     affine_a = extract.px2geo_affine()
     pairs = extract.span_pair_points(docs, affine_a)
-    glon, glat = geo.gc_interpolate_sql("lon0", "lat0", "lon1", "lat1", "fv")
-    way = (
-        pairs.withColumn(
-            "fv", F.explode(F.array(*[F.lit(f) for f in WAYPOINT_FRACTIONS]))
-        )
-        .select(
-            F.round(F.col("fv") * 4).cast("long").alias("fq"),
-            F.expr(glon).alias("wlon"),
-            F.expr(glat).alias("wlat"),
-        )
+    # round 6: staged slerp — same math as gc_interpolate_sql (the
+    # oracle keeps the verbatim inline text), with d/a/b/x/y/z
+    # materialized once per row instead of re-evaluated per textual
+    # occurrence; bit-equality with the inline form is pinned in
+    # tests/test_extract_fastpath.py
+    stages, glon, glat = geo.gc_interpolate_stages(
+        "lon0", "lat0", "lon1", "lat1", "fv"
+    )
+    way = pairs.withColumn(
+        "fv", F.explode(F.array(*[F.lit(f) for f in WAYPOINT_FRACTIONS]))
+    )
+    for name, expr in stages:
+        way = way.withColumn(name, F.expr(expr))
+    way = way.select(
+        F.round(F.col("fv") * 4).cast("long").alias("fq"),
+        F.expr(glon).alias("wlon"),
+        F.expr(glat).alias("wlat"),
     )
     tx, ty = tiles.tile_xy(F.col("wlon"), F.col("wlat"), WAYPOINT_ZOOM)
     return (
