@@ -29,6 +29,119 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _precontracted_components(
+    pairs: DataFrame, width: int, block_bits: int = 5
+) -> DataFrame:
+    """Connected components over a grid-cell adjacency pair set with
+    PARTITION-LOCAL PRE-CONTRACTION (round 6, guide §1.2 "fix the
+    distributed algorithm"): grid components are routinely
+    high-diameter snakes, so the global O(log^2 n) star rounds — each
+    a multi-job shuffle round — dominated grid_dbscan's wall clock.
+
+    Plan: edges whose endpoints share a (2^block_bits)-cell square
+    block are grouped by block and collapsed by a per-partition
+    union-find (mapInPandas — Arrow-vectorized partition pass, edge
+    count per partition bounded by block occupancy, never by grid
+    area); each local component contracts to its MINIMUM cell id.
+    Only block-boundary edges (the perimeter set, << area) enter the
+    global star algorithm, and a partition-local snake costs zero
+    global rounds.  Local roots are set minima and unions keep the
+    smaller root, so the contracted graph's star labels compose to
+    exactly the same (id, comp=component min) labeling as running
+    star on the raw pair set — pinned equal in
+    tests/test_grid_precontract.py.
+
+    Returns (id, comp) for every id appearing in ``pairs``."""
+    from .dedup import _star_components
+
+    # materialize the pair set once: internal/cross/node derivations
+    # each re-evaluated the whole upstream edge-generation subtree
+    # (extract -> counts -> spread -> join) otherwise.  Same
+    # cluster-mode checkpoint() caveat as dedup._star_components.
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    bs = 1 << block_bits
+
+    def blk(c: str) -> F.Column:
+        # cell_id = ty*width + tx (tx, ty >= 0) -> block row-major key;
+        # integer `div` keeps this exact for ids beyond 2^53
+        return F.expr(
+            f"(({c} div {int(width)}) div {bs}) * {int(width)} "
+            f"+ (({c} % {int(width)}) div {bs})"
+        ).cast("long")
+
+    tagged = edges.withColumns({"bu": blk("u"), "bv": blk("v")})
+    internal = tagged.where(F.col("bu") == F.col("bv"))
+    cross = tagged.where(F.col("bu") != F.col("bv")).select("u", "v")
+
+    spark = pairs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union toward the smaller id: every root stays
+                    # its set's minimum, so the final find() IS the
+                    # local-component min
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        ids = list(parent)
+        yield pd.DataFrame(
+            {"id": ids, "root": [find(x) for x in ids]}
+        ).astype("int64")
+
+    mapping = (
+        internal.select("u", "v", "bu")
+        .repartition(n_parts, "bu")
+        .drop("bu")
+        .mapInPandas(_uf, "id long, root long")
+    )
+    mu = mapping.select(F.col("id").alias("u"), F.col("root").alias("ru"))
+    mv = mapping.select(F.col("id").alias("v"), F.col("root").alias("rv"))
+    contracted = (
+        cross.join(mu, "u", "left")
+        .join(mv, "v", "left")
+        .select(
+            F.coalesce(F.col("ru"), F.col("u")).alias("u"),
+            F.coalesce(F.col("rv"), F.col("v")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    star = _star_components(contracted)
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    base = nodes.join(mapping, "id", "left").select(
+        "id", F.coalesce(F.col("root"), F.col("id")).alias("r")
+    )
+    return base.join(
+        star.select(F.col("id").alias("r"), "comp"), "r", "left"
+    ).select("id", F.coalesce(F.col("comp"), F.col("r")).alias("comp"))
+
+
 def focal_sum(
     cells: DataFrame,
     tx: str = "tx",
@@ -45,6 +158,10 @@ def focal_sum(
     wanted)."""
     if radius < 1:
         raise ValueError("focal_sum: radius must be >= 1")
+    # materialize the cell table once (round 6): it feeds both the
+    # spread and the support join — two full re-evaluations of the
+    # upstream points->counts pipeline otherwise.  |cells| << |points|.
+    cells = cells.select(tx, ty, value).localCheckpoint(eager=True)
     off = F.sequence(F.lit(-radius), F.lit(radius))
     spread = (
         cells.select(tx, ty, value)
@@ -101,16 +218,18 @@ def grid_dbscan(
     cell id ``ty*width + tx`` in the cluster), ``n_cells``,
     ``n_points`` (summed ``value``), and the cluster bbox
     ``tx_min/tx_max/ty_min/ty_max``."""
-    from .dedup import connected_components
-
     if min_pts < 1:
         raise ValueError("grid_dbscan: min_pts must be >= 1")
+    # materialize the core-cell table once (round 6): it feeds the
+    # spread, the neighbor join's build side, AND the final label
+    # join — three full re-evaluations of the upstream points
+    # pipeline otherwise.  |core| << |points| by construction.
     core = cells.where(F.col(value) >= min_pts).select(
         F.col(tx).alias("tx"),
         F.col(ty).alias("ty"),
         F.col(value).alias("n"),
         (F.col(ty) * width + F.col(tx)).cast("long").alias("cell_id"),
-    )
+    ).localCheckpoint(eager=True)
     # 4 forward offsets cover each unordered 8-neighbor pair once:
     # E, SE, S, SW (the backward four are the same pairs reversed).
     fwd = F.array(
@@ -136,9 +255,12 @@ def grid_dbscan(
     # grid components are routinely HIGH-diameter (a connected band of
     # core cells is a hops-long snake: measured diameter >> 12 on the
     # sf0.1 gate corpus — one 65k-cell component), so skip the
-    # diameter-bounded label-propagation attempt and go straight to
-    # the O(log^2 n) star algorithm (47s -> 31s at sf0.1).
-    labels = connected_components(pairs, algorithm="star")
+    # diameter-bounded label-propagation attempt; round 6 adds
+    # partition-local union-find pre-contraction so the global
+    # O(log^2 n) star rounds only see block-boundary edges
+    # (_precontracted_components; 47s -> 31s -> 20s -> measured in
+    # OPTIMIZATION_r06.md).
+    labels = _precontracted_components(pairs, width=width)
     labeled = core.join(
         labels.withColumnRenamed("id", "cell_id"), on="cell_id", how="left"
     ).withColumn("comp", F.coalesce(F.col("comp"), F.col("cell_id")))
