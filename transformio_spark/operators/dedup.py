@@ -183,12 +183,24 @@ def minhash_lsh_pairs(
     sh_col = shingles if shingles is not None else char_shingles(
         F.col(text_col), k
     )
+    # materialize (id, shingles, signature) ONCE (round 6): the bucket
+    # self-join otherwise re-evaluated the whole shingle+minhash
+    # subtree on both sides.  Same cluster-mode checkpoint() caveat as
+    # _star_components.
     sig = docs.select(
         F.col(id_col).alias("id"), sh_col.alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    ).withColumn(
+        "sig", minhash_signature(F.col("sh"), n_hashes)
+    ).localCheckpoint(eager=True)
+    # round 6 (guide §2.3/§8: shuffle keys, not payloads): the band
+    # self-join used to carry the full shingle arrays through the
+    # 8-way band explode and BOTH exchange sides; now only
+    # (id, band_idx, band_hash) flows through the candidate join, and
+    # the shingles are attached to the deduped candidate PAIRS from
+    # the materialized sig table afterward.  Candidate set and verify
+    # are unchanged.
     banded = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -201,12 +213,10 @@ def minhash_lsh_pairs(
         ).alias("band_idx", "band_hash"),
     )
     left = banded.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("band_idx"), F.col("band_hash"), F.col("id").alias("id_a")
     )
     right = banded.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("band_idx"), F.col("band_hash"), F.col("id").alias("id_b")
     )
     join_keys = ["band_idx", "band_hash"]
     if n_salt and n_salt > 1:
@@ -220,8 +230,15 @@ def minhash_lsh_pairs(
     cand = (
         left.join(right, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
@@ -446,7 +463,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("v_comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # carry the changed flag inside the round's own projection
+        # (round 6): the old new-vs-old join re-shuffled both label
+        # sets once per round just to count differences; the join
+        # already had both values in hand
+        new_full = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 labels["id"],
@@ -454,15 +475,14 @@ def connected_components(
                     labels["comp"],
                     F.coalesce(nbr_min["nbr_comp"], labels["comp"]),
                 ).alias("comp"),
+                (
+                    F.coalesce(nbr_min["nbr_comp"], labels["comp"])
+                    < labels["comp"]
+                ).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(F.col("_chg")).count()
+        labels = new_full.drop("_chg")
         if changed == 0:
             break
     else:

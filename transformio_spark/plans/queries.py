@@ -1027,10 +1027,13 @@ def q_curation_funnel(spark, sf_dir) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # round 6: materialize the fingerprint+rank stage once — it feeds
+    # both the survivors->LSH->components leg and the final funnel
+    # join, which otherwise re-run the scan+md5+window pipeline
     staged = (
         docs.withColumn("fp", T.fingerprint(F.col("text")))
         .withColumn("rn", F.row_number().over(w))
-    )
+    ).localCheckpoint(eager=True)
     survivors = staged.where(F.col("rn") == 1).select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(survivors, threshold=0.5)
     nd = (
