@@ -158,10 +158,16 @@ def focal_sum(
     wanted)."""
     if radius < 1:
         raise ValueError("focal_sum: radius must be >= 1")
-    # materialize the cell table once (round 6): it feeds both the
-    # spread and the support join — two full re-evaluations of the
-    # upstream points->counts pipeline otherwise.  |cells| << |points|.
-    cells = cells.select(tx, ty, value).localCheckpoint(eager=True)
+    # round 6 (guide §2.4: remove shuffles outright): the support
+    # restriction used to be an inner join back to the input cells —
+    # which re-evaluated the whole upstream points->counts pipeline a
+    # second time AND added a join.  The (dx, dy) = (0, 0) spread row
+    # IS the support marker: carry it as a flag, aggregate it in the
+    # same gather, and keep only targets that received an own
+    # contribution.  One shuffle, zero joins, single evaluation of
+    # the input.  (Cells are unique per (tx, ty) by construction —
+    # the input is an aggregated cell table — so max() recovers the
+    # cell's own value exactly.)
     off = F.sequence(F.lit(-radius), F.lit(radius))
     spread = (
         cells.select(tx, ty, value)
@@ -171,22 +177,18 @@ def focal_sum(
             (F.col(tx) + F.col("_dx")).alias("_tx"),
             (F.col(ty) + F.col("_dy")).alias("_ty"),
             F.col(value).alias("_v"),
+            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("_own"),
         )
     )
     gathered = spread.groupBy("_tx", "_ty").agg(
-        F.sum("_v").alias("focal_sum")
+        F.sum("_v").alias("focal_sum"),
+        F.max(F.when(F.col("_own"), F.col("_v"))).alias("_own_v"),
     )
-    support = cells.select(
-        F.col(tx).alias("_tx"), F.col(ty).alias("_ty"), F.col(value)
-    )
-    return (
-        gathered.join(support, on=["_tx", "_ty"], how="inner")
-        .select(
-            F.col("_tx").alias(tx),
-            F.col("_ty").alias(ty),
-            F.col(value),
-            "focal_sum",
-        )
+    return gathered.where(F.col("_own_v").isNotNull()).select(
+        F.col("_tx").alias(tx),
+        F.col("_ty").alias(ty),
+        F.col("_own_v").alias(value),
+        "focal_sum",
     )
 
 

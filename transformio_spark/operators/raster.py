@@ -529,11 +529,12 @@ def zonal_stats(
     Scale shape: region boxes are broadcast and interval-overlap-
     joined to TILE BBOXES (tiny vs pixel data — partition pruning, the
     same trick as warp's phase 2), then each surviving (tile, region)
-    pair folds over its pixels entirely JVM-side (F.aggregate over the
-    byte array — no Python, no per-pixel rows ever materialized), and
-    one final shuffle sums the per-tile partials per region.  At 10^12
-    pixels the fold is the distributed unit and the shuffle carries
-    only |tiles|·avg_regions_per_tile rows."""
+    pair decodes its pixels entirely JVM-side in whole-stage codegen
+    (per-pixel rows exist only transiently between the index explode
+    and the map-side partial aggregate — no Python), and one final
+    shuffle sums the map-side partials per region.  At 10^12 pixels
+    the codegen pass is the distributed unit and the shuffle carries
+    only the combined per-partition partials."""
     if sy >= 0 or sx <= 0:
         raise ValueError(
             "zonal_stats expects a north-up affine: sx > 0, sy < 0"
@@ -553,55 +554,62 @@ def zonal_stats(
     )
     pairs = t.join(F.broadcast(boxes_df), on=overlap, how="inner")
 
+    # round 6 (guide §4.1, same rewrite as the warp checksums): the
+    # per-(tile, region) pixel fold was an interpreted F.aggregate
+    # with a 4-field struct accumulator.  Exploding the pixel index
+    # keeps per-pixel rows transient between the Generate and the
+    # map-side partial aggregate (band_histogram's documented shape)
+    # while the byte decode + containment test run in whole-stage
+    # codegen; integer sums are order-independent, so values are
+    # bit-identical.
     def _byte(j):  # 1-based byte offset into the tile's RGBA bytes
         return F.conv(
             F.hex(F.substring(F.col("px"), j, F.lit(1))), 16, 10
         ).cast("long")
 
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        *[zero.alias(c) for c in ("n", "sr", "sg", "sb")]
+    i = F.col("_i")
+    lon = (
+        F.lit(lon0)
+        + (F.col("col0") + (i % F.col("w")) + F.lit(0.5)) * F.lit(sx)
     )
-
-    def step(acc, i):
-        lon = (
-            F.lit(lon0)
-            + (F.col("col0") + (i % F.col("w")) + F.lit(0.5)) * F.lit(sx)
-        )
-        lat = (
-            F.lit(lat0)
-            + (F.col("row0") + F.floor(i / F.col("w")) + F.lit(0.5))
-            * F.lit(sy)
-        )
-        inside = (
-            (lon >= F.col("lon_min")) & (lon < F.col("lon_max"))
-            & (lat >= F.col("lat_min")) & (lat < F.col("lat_max"))
-        )
-        one = F.when(inside, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        return F.struct(
-            (acc["n"] + one).alias("n"),
-            (acc["sr"] + one * _byte(i * 4 + 1)).alias("sr"),
-            (acc["sg"] + one * _byte(i * 4 + 2)).alias("sg"),
-            (acc["sb"] + one * _byte(i * 4 + 3)).alias("sb"),
-        )
-
-    partial = pairs.select(
+    lat = (
+        F.lit(lat0)
+        + (F.col("row0") + F.floor(i / F.col("w")) + F.lit(0.5))
+        * F.lit(sy)
+    )
+    inside = (
+        (lon >= F.col("lon_min")) & (lon < F.col("lon_max"))
+        & (lat >= F.col("lat_min")) & (lat < F.col("lat_max"))
+    )
+    per_px = pairs.select(
         "region_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.col("w") * F.col("h") - 1),
-            init,
-            step,
-        ).alias("z"),
-    )
+        "col0",
+        "row0",
+        "w",
+        "h",
+        "px",
+        "lon_min",
+        "lon_max",
+        "lat_min",
+        "lat_max",
+        F.explode(
+            F.sequence(F.lit(0), F.col("w") * F.col("h") - 1)
+        ).alias("_i"),
+    ).where(inside)
     return (
-        partial.groupBy("region_id")
-        .agg(
-            F.sum("z.n").alias("n_pixels"),
-            F.sum("z.sr").alias("sum_r"),
-            F.sum("z.sg").alias("sum_g"),
-            F.sum("z.sb").alias("sum_b"),
+        per_px.select(
+            "region_id",
+            _byte(i * 4 + 1).alias("_r"),
+            _byte(i * 4 + 2).alias("_g"),
+            _byte(i * 4 + 3).alias("_b"),
         )
-        .where(F.col("n_pixels") > 0)
+        .groupBy("region_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum("_r").alias("sum_r"),
+            F.sum("_g").alias("sum_g"),
+            F.sum("_b").alias("sum_b"),
+        )
         .orderBy("region_id")
     )
 

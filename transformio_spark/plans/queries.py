@@ -780,45 +780,59 @@ def q_warp_affine_checksums(spark, sf_dir) -> DataFrame:
         out_tile=WARP_GATE_OUT_TILE, src_tile=WARP_GATE_SRC_TILE,
     )
 
+    # round 6 (guide §4.1: prefer codegen over interpreted folds): the
+    # per-tile byte checksums used to run as ONE F.aggregate fold over
+    # sequence(0, w*h-1) with a 5-field struct accumulator — a fully
+    # interpreted per-element evaluation (~3.6 s of the query's 5 s).
+    # Exploding the pixel index instead makes the byte extraction and
+    # the partial sums whole-stage codegen; the shuffle carries only
+    # the map-side-combined per-tile partials.  Integer sums are
+    # order-independent, so the values are bit-identical.
     def _byte(j):  # 1-based byte offset into the tile's RGBA bytes
         return F.conv(
             F.hex(F.substring(F.col("px"), j, F.lit(1))), 16, 10
         ).cast("long")
 
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        *[zero.alias(c) for c in ("sr", "sg", "sb", "sa", "ws")]
-    )
-
-    def step(acc, p):
-        b0 = _byte(p * 4 + 1)
-        b1 = _byte(p * 4 + 2)
-        b2 = _byte(p * 4 + 3)
-        b3 = _byte(p * 4 + 4)
-        return F.struct(
-            (acc["sr"] + b0).alias("sr"),
-            (acc["sg"] + b1).alias("sg"),
-            (acc["sb"] + b2).alias("sb"),
-            (acc["sa"] + b3).alias("sa"),
-            (
-                acc["ws"]
-                + (p + 1) * (b0 + b1 * 256 + b2 * 65536 + b3 * 16777216)
-            ).alias("ws"),
-        )
-
-    agg = F.aggregate(
-        F.sequence(F.lit(0), F.col("w") * F.col("h") - 1), init, step
-    )
-    return out_tiles.select(
+    p = F.col("_p")
+    b0 = _byte(p * 4 + 1)
+    b1 = _byte(p * 4 + 2)
+    b2 = _byte(p * 4 + 3)
+    b3 = _byte(p * 4 + 4)
+    per_px = out_tiles.select(
         "tile_x",
         "tile_y",
         (F.col("w") * F.col("h")).cast("long").alias("n_px"),
-        agg["sr"].alias("sum_r"),
-        agg["sg"].alias("sum_g"),
-        agg["sb"].alias("sum_b"),
-        agg["sa"].alias("sum_a"),
-        agg["ws"].alias("wsum"),
-    ).orderBy("tile_x", "tile_y")
+        "px",
+        F.explode(
+            F.sequence(F.lit(0), F.col("w") * F.col("h") - 1)
+        ).alias("_p"),
+    ).select(
+        "tile_x",
+        "tile_y",
+        "n_px",
+        b0.alias("_b0"),
+        b1.alias("_b1"),
+        b2.alias("_b2"),
+        b3.alias("_b3"),
+        ((p + 1) * (b0 + b1 * 256 + b2 * 65536 + b3 * 16777216)).alias(
+            "_w"
+        ),
+    )
+    return (
+        per_px.groupBy("tile_x", "tile_y", "n_px")
+        .agg(
+            F.sum("_b0").alias("sum_r"),
+            F.sum("_b1").alias("sum_g"),
+            F.sum("_b2").alias("sum_b"),
+            F.sum("_b3").alias("sum_a"),
+            F.sum("_w").alias("wsum"),
+        )
+        .select(
+            "tile_x", "tile_y", "n_px",
+            "sum_r", "sum_g", "sum_b", "sum_a", "wsum",
+        )
+        .orderBy("tile_x", "tile_y")
+    )
 
 
 def q_loo_residuals(spark, sf_dir) -> DataFrame:
