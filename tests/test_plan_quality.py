@@ -6,6 +6,7 @@ scan, inline kNN without any join, bounded shuffle counts."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from transformio_spark.plans import queries as q
 
@@ -223,3 +224,17 @@ def test_mollweide_staged_plan_has_no_interpreted_fold(spark, sf_dir):
     # corpus construction are fine — they're not per-iteration math.)
     assert "array_repeat" not in opt
     assert "aggregate(" not in opt
+
+
+def test_int8_rerank_has_two_level_topk(spark, sf_dir):
+    """Round 6: the approx ranking pre-reduces per (query, salt) lane
+    before the global per-query window, so no corpus-sized partition
+    ever feeds a single ranking task (ADVICE r05 #4).  The plan must
+    carry BOTH row_number windows."""
+    import re
+
+    plan = q.q_embedding_int8_rerank(
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    assert len(re.findall(r"row_number", plan)) >= 3  # salt + global + rerank

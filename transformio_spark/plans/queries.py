@@ -288,6 +288,12 @@ def q_embedding_int8_rerank(spark, sf_dir) -> DataFrame:
         F.col("v8").alias("va"),
     )
     pairs = base.where(F.col("vec_id") >= 10).join(F.broadcast(queries))
+    # round 6 NEGATIVE RESULT (guide §1.1: measure, then decide): the
+    # VERDICT-suggested 64-term element_at unroll of this dot product
+    # measured SLOWER than the fold (3.2s vs 2.0s at sf0.1 — the
+    # 64-wide expression tree trips codegen's huge-method fallback
+    # into per-op interpreted evaluation, worse than one fold over
+    # the array), so the fold stays; see OPTIMIZATION_r06.md.
     dot8 = F.aggregate(
         F.zip_with(F.col("va"), F.col("v8"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -296,13 +302,27 @@ def q_embedding_int8_rerank(spark, sf_dir) -> DataFrame:
     approx = F.round(
         dot8.cast("double") * F.col("sa") * F.col("scale") * F.lit(1e6), 0
     ).cast("long")
+    # two-level top-K (round 6, the scale fix for the single-partition
+    # ranking window): per-(query, salt) candidates first — 32
+    # deterministic salt lanes distribute the corpus-sized rank — then
+    # the global window only orders 32*INT8_CAND survivors per query.
+    # The global top-K under a total order (approx desc, vec_id asc)
+    # is contained in the union of per-salt top-Ks, so the candidate
+    # set is unchanged.
+    scored = pairs.select(
+        "query_id", "vec_id", "qa", "q1k", approx.alias("approx_e6")
+    ).withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(32)))
+    w0 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("approx_e6"), F.asc("vec_id")
+    )
+    pre = scored.withColumn("_srnk", F.row_number().over(w0)).where(
+        F.col("_srnk") <= INT8_CAND
+    )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("approx_e6"), F.asc("vec_id")
     )
     cand = (
-        pairs.select(
-            "query_id", "vec_id", "qa", "q1k", approx.alias("approx_e6")
-        )
+        pre.select("query_id", "vec_id", "qa", "q1k", "approx_e6")
         .withColumn("crnk", F.row_number().over(w1))
         .where(F.col("crnk") <= INT8_CAND)
     )
