@@ -285,3 +285,57 @@ def test_sessionize_tiebreak_and_invariance(spark):
 
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize(df, 0)
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """Round 6: the ts-bucketed skew-safe sessionize must number
+    sessions identically to the single-window operator — hot key,
+    boundary-straddling gaps, ties, sparse keys, and random
+    timelines."""
+    import random
+    from datetime import datetime, timedelta
+
+    from transformio_spark.operators.temporal import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    # hot key 1: 600 events, gaps alternating under/over threshold,
+    # including exact-threshold gaps (==30 s stays)
+    t = t0
+    for i in range(600):
+        step = rng.choice([1, 5, 30, 31, 90])
+        t = t + timedelta(seconds=step)
+        rows.append((eid, 1, t))
+        eid += 1
+    # key 2: a tie burst (identical ts) + a far-future straggler
+    rows += [(eid + i, 2, t0 + timedelta(seconds=5)) for i in range(8)]
+    eid += 8
+    rows.append((eid, 2, t0 + timedelta(days=2)))
+    eid += 1
+    # sparse keys
+    for k in range(3, 20):
+        for _ in range(rng.randrange(1, 5)):
+            rows.append(
+                (eid, k, t0 + timedelta(seconds=rng.randrange(0, 5000)))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    for nb in (1, 3, 16):
+        plain = sorted(
+            (r.event_id, r.session_idx)
+            for r in sessionize(df, 30, key_col="user_id").collect()
+        )
+        buck = sorted(
+            (r.event_id, r.session_idx)
+            for r in sessionize_bucketed(
+                df, 30, key_col="user_id", n_buckets=nb
+            ).collect()
+        )
+        assert buck == plain, f"n_buckets={nb}"
