@@ -87,3 +87,33 @@ def test_mercator_cells_query_is_pure_codegen(spark, sf_dir):
     df = q.q_mercator_cells(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temp_name_collisions_raise(spark):
+    """Round 6 (ADVICE r05): caller columns colliding with staged /
+    s2 temp names must raise loudly, never be silently dropped."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transformio_spark import kernels as kt
+    from transformio_spark.functions import s2
+    from transformio_spark.operators.compiler import (
+        with_transformed_columns,
+    )
+
+    df = spark.range(3).select(
+        (F.col("id") * 1.0).alias("lon"),
+        (F.col("id") * 2.0).alias("lat"),
+        F.lit(7).alias("_stg0_keep"),
+    )
+    moll = kt.MapProjection(fromcrs="EPSG:4326", tocrs="ESRI:54009")
+    with pytest.raises(ValueError, match="_stg0_"):
+        with_transformed_columns(df, moll)
+
+    df2 = spark.range(3).select(
+        (F.col("id") * 1.0).alias("lon"),
+        (F.col("id") * 2.0).alias("lat"),
+        F.lit(1).alias("_s2_face"),
+    )
+    with pytest.raises(ValueError, match="_s2_face"):
+        s2.with_s2_cell(df2, F.col("lon"), F.col("lat"), 4)

@@ -175,6 +175,15 @@ def with_s2_cell(df, lon: Column, lat: Column, level: int = S2_LEVEL,
     a 6-row frame).  CollapseProject keeps the split (non-cheap
     producers consumed more than once are not re-inlined)."""
     face, i, j = face_ij(lon, lat, level)
+    # collision guard (ADVICE r05): the fixed temp names would make
+    # the select("*", ...) below fail with a confusing duplicate-name
+    # error (or silently shadow) if the caller already carries them
+    clash = [c for c in df.columns if c in ("_s2_face", "_s2_i", "_s2_j")]
+    if clash:
+        raise ValueError(
+            f"with_s2_cell: input columns {clash} collide with the "
+            "operator's temp names"
+        )
     tmp = df.select(
         "*", face.alias("_s2_face"), i.alias("_s2_i"), j.alias("_s2_j")
     )

@@ -133,13 +133,26 @@ def with_transformed_columns(
 
     legs = model.transforms if isinstance(model, kt.Chain) else [model]
     cx, cy = F.col(x), F.col(y)
-    prefixes = []
+    temp: list[str] = []
     for i, leg in enumerate(legs):
         prefix = f"_stg{i}_"
         staged = _compile_staged(leg, prefix)
         if staged is not None:
+            # collision guard (ADVICE r05): a caller column sharing
+            # the stage prefix would be silently replaced by the
+            # staged projection and then dropped below — refuse
+            # loudly instead of corrupting data.  Track the EXACT
+            # temp names the stage created, not a prefix match over
+            # the output.
+            clash = [c for c in df.columns if c.startswith(prefix)]
+            if clash:
+                raise ValueError(
+                    f"with_transformed_columns: input columns {clash} "
+                    f"collide with staged temp prefix {prefix!r}"
+                )
+            before = set(df.columns)
             df, cx, cy = staged(df, cx, cy)
-            prefixes.append(prefix)
+            temp.extend(c for c in df.columns if c not in before)
             continue
         built = compile_columns(leg)
         if built is not None:
@@ -148,9 +161,4 @@ def with_transformed_columns(
             s = udfs.transform_xy(json.dumps(leg.to_json()), cx, cy)
             cx, cy = s["px"], s["py"]
     out = df.withColumns({out_x: cx, out_y: cy})
-    temp = [
-        c
-        for c in out.columns
-        if any(c.startswith(p) for p in prefixes)
-    ]
     return out.drop(*temp) if temp else out
