@@ -484,13 +484,24 @@ def test_connected_components_chain_merge(spark):
     assert comps["a"] == comps["b"] == comps["c"] == "a"
     assert comps["d"] == comps["e"] == "d"
     assert comps["w"] == comps["x"] == comps["y"] == comps["z"] == "w"
-    with pytest.raises(RuntimeError, match="converge"):
-        # a 5-hop path cannot converge in 1 round; label-prop-only
-        # keeps the old hard abort
-        chain = spark.createDataFrame(
-            [(str(i), str(i + 1)) for i in range(6)], "id_a string, id_b string"
-        )
-        dedup.connected_components(chain, max_iter=1, algorithm="label-prop")
+    # a deep path that SURVIVES local contraction (one edge per lane)
+    # cannot converge in 1 global round; label-prop-only keeps the
+    # old hard abort.  Round 6: the gate-scale pre-contraction solves
+    # small graphs in the local pass, so force one-edge lanes to keep
+    # the abort path covered.
+    old_cap = dedup._LOCAL_UF_MAX_EDGES
+    dedup._LOCAL_UF_MAX_EDGES = 1
+    try:
+        with pytest.raises(RuntimeError, match="converge"):
+            chain = spark.createDataFrame(
+                [(str(i), str(i + 1)) for i in range(8)],
+                "id_a string, id_b string",
+            )
+            dedup.connected_components(
+                chain, max_iter=1, algorithm="label-prop"
+            )
+    finally:
+        dedup._LOCAL_UF_MAX_EDGES = old_cap
 
 
 def test_connected_components_star_equals_label_prop(spark):

@@ -178,7 +178,11 @@ def with_s2_cell(df, lon: Column, lat: Column, level: int = S2_LEVEL,
     # collision guard (ADVICE r05): the fixed temp names would make
     # the select("*", ...) below fail with a confusing duplicate-name
     # error (or silently shadow) if the caller already carries them
-    clash = [c for c in df.columns if c in ("_s2_face", "_s2_i", "_s2_j")]
+    clash = [
+        c
+        for c in df.columns
+        if c in ("_s2_face", "_s2_i", "_s2_j", "_h_st", "_h_d")
+    ]
     if clash:
         raise ValueError(
             f"with_s2_cell: input columns {clash} collide with the "
@@ -187,11 +191,47 @@ def with_s2_cell(df, lon: Column, lat: Column, level: int = S2_LEVEL,
     tmp = df.select(
         "*", face.alias("_s2_face"), i.alias("_s2_i"), j.alias("_s2_j")
     )
+    # round 6: stage the transducer STATE per level too.  In the
+    # single-Column hilbert_d form each level's lookup key k embeds
+    # the previous state expression, and k feeds BOTH the emitted
+    # digit and the next state — the tree doubles per level
+    # (~2^level subtrees), which made every query (re)build pay
+    # seconds of analysis/codegen before any row moved (bench best-of
+    # -2 rebuilds the DataFrame per repeat, so it paid twice).
+    # Materializing (_h_st, _h_d) per level keeps the plan linear in
+    # ``level``; per-row double/long ops are identical, so values are
+    # bit-equal (pinned in tests/test_s2_hex.py).
+    darr = F.array(*[F.lit(v).cast("long") for v in _DTAB])
+    sarr = F.array(*[F.lit(v).cast("int") for v in _STAB])
+    tmp = tmp.withColumns(
+        {"_h_st": F.lit(0).cast("int"), "_h_d": F.lit(0).cast("long")}
+    )
+    # materialize every CHUNK levels: inside a chunk the state tree
+    # doubles per level (2^CHUNK small subtrees — fine); across
+    # chunks it is cut back to a materialized attribute, keeping both
+    # the analyzed plan and the generated code linear in ``level``
+    chunk = 3
+    cur_st, cur_d = F.col("_h_st"), F.col("_h_d")
+    pending = 0
+    for n, i in enumerate(range(level - 1, -1, -1)):
+        raw = F.shiftright(F.col("_s2_i"), i).bitwiseAND(F.lit(1)) * F.lit(
+            2
+        ) + F.shiftright(F.col("_s2_j"), i).bitwiseAND(F.lit(1))
+        k = (cur_st * 4 + raw.cast("int") + F.lit(1)).cast("int")
+        cur_d = cur_d + F.shiftleft(F.element_at(darr, k), 2 * i)
+        cur_st = F.element_at(sarr, k)
+        pending += 1
+        if pending == chunk or i == 0:
+            tmp = tmp.withColumns({"_h_d": cur_d, "_h_st": cur_st})
+            cur_st, cur_d = F.col("_h_st"), F.col("_h_d")
+            pending = 0
     cell = (
-        F.col("_s2_face") * F.lit(4 ** level).cast("long")
-        + hilbert_d(F.col("_s2_i"), F.col("_s2_j"), level)
+        F.col("_s2_face") * F.lit(4 ** level).cast("long") + F.col("_h_d")
     ).cast("long")
-    return tmp.select("*", cell.alias(out)).drop("_s2_face", "_s2_i", "_s2_j")
+    return (
+        tmp.select("*", cell.alias(out))
+        .drop("_s2_face", "_s2_i", "_s2_j", "_h_st", "_h_d")
+    )
 
 
 def s2_parent(cell: Column, level: int, parent_level: int) -> Column:

@@ -329,6 +329,44 @@ def simhash_md5_buckets(
     )
 
 
+#: max edges one local union-find task folds — bounds task memory at
+#: adversarial scale (a few MB of dict state) while letting gate-sized
+#: graphs collapse in a single task
+_LOCAL_UF_MAX_EDGES = 50_000
+
+
+def _uf_partition(batches):
+    """Per-partition union-find over (u, v) edge batches (mapInPandas
+    body — shared by dedup's hash-lane contraction and grid's
+    block contraction).  Unions keep the SMALLER id as root, so the
+    final root of every node is its local component's minimum.
+    Yields (id, root) for every node seen.  Python `<` must agree
+    with Spark's min/least ordering for the id type (longs always;
+    strings when ASCII — every engine id column is)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pdf in batches:
+        for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    ids = list(parent)
+    yield pd.DataFrame({"id": ids, "root": [find(x) for x in ids]})
+
+
 def _star_components(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Alternating large-star/small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -434,23 +472,89 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).where(F.col("u") != F.col("v"))
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # canonical undirected edge set, materialized ONCE — it feeds the
+    # lane split, the contraction, and the node universe (same
+    # cluster-mode checkpoint() caveat as _star_components)
+    half = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # round 6: hash-lane LOCAL UNION-FIND PRE-CONTRACTION (the local-
+    # contraction optimization of Kiveris et al. 2014): nodes hash
+    # into ceil(|E| / _LOCAL_UF_MAX_EDGES) lanes; edges internal to a
+    # lane collapse to their local minimum in ONE mapInPandas pass,
+    # and only cross-lane edges enter the global rounds.  A gate-
+    # scale graph fits one lane and needs ZERO global rounds; at
+    # 10^12 edges per-task state stays bounded and the global phase
+    # sees a contracted fraction of the graph.  Labels compose to the
+    # identical (id, comp = component min) output — same argument as
+    # grid._precontracted_components, pinned by the dedup property
+    # tests.
+    n_edges = half.count()
+    n_parts = max(1, -(-n_edges // _LOCAL_UF_MAX_EDGES))
+    id_type = dict(half.dtypes)["u"]
+    lane = {
+        "lu": F.pmod(F.xxhash64(F.col("u")), F.lit(n_parts)),
+        "lv": F.pmod(F.xxhash64(F.col("v")), F.lit(n_parts)),
+    }
+    tagged = half.withColumns(lane)
+    mapping = (
+        tagged.where(F.col("lu") == F.col("lv"))
+        .select("u", "v", "lu")
+        .repartition(n_parts, "lu")
+        .drop("lu")
+        .mapInPandas(_uf_partition, f"id {id_type}, root {id_type}")
+    )
+    cross = tagged.where(F.col("lu") != F.col("lv")).select("u", "v")
+    mu = mapping.select(F.col("id").alias("u"), F.col("root").alias("ru"))
+    mv = mapping.select(F.col("id").alias("v"), F.col("root").alias("rv"))
+    contracted = (
+        cross.join(mu, "u", "left")
+        .join(mv, "v", "left")
+        .select(
+            F.coalesce(F.col("ru"), F.col("u")).alias("u"),
+            F.coalesce(F.col("rv"), F.col("v")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+
+    def compose(global_labels: DataFrame) -> DataFrame:
+        nodes = (
+            half.select(F.col("u").alias("id"))
+            .union(half.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        base = nodes.join(mapping, "id", "left").select(
+            "id", F.coalesce(F.col("root"), F.col("id")).alias("_r")
+        )
+        return base.join(
+            global_labels.select(F.col("id").alias("_r"), "comp"),
+            "_r",
+            "left",
+        ).select("id", F.coalesce(F.col("comp"), F.col("_r")).alias("comp"))
+
     if algorithm == "star":
-        return _star_components(sym)
+        return compose(_star_components(contracted))
+    sym = (
+        contracted.union(
+            contracted.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
     )
-    sym = sym.cache()
     # localCheckpoint per round, NOT cache: ``labels`` appears twice
     # in each round's plan, so without lineage truncation the
     # analyzed tree doubles every round and Catalyst analysis (not
     # the data) exhausts the driver heap after ~7 rounds.  cache()
     # only swaps in InMemoryRelation at physical planning; the
-    # logical tree still carries the full history.  Same note as
-    # _star_components re: cluster-mode checkpoint().
+    # logical tree still carries the full history.
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
@@ -487,15 +591,11 @@ def connected_components(
             break
     else:
         if algorithm == "auto":
-            out = _star_components(sym)
-            sym.unpersist()
-            return out
-        sym.unpersist()
+            return compose(_star_components(contracted))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    sym.unpersist()
-    return labels
+    return compose(labels)
 
 
 def neardup_component_summary(

@@ -81,41 +81,13 @@ def _precontracted_components(
     spark = pairs.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def _uf(batches):
-        import pandas as pd
-
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for pdf in batches:
-            for a, b in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-                a, b = int(a), int(b)
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union toward the smaller id: every root stays
-                    # its set's minimum, so the final find() IS the
-                    # local-component min
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-        ids = list(parent)
-        yield pd.DataFrame(
-            {"id": ids, "root": [find(x) for x in ids]}
-        ).astype("int64")
+    from .dedup import _uf_partition
 
     mapping = (
         internal.select("u", "v", "bu")
         .repartition(n_parts, "bu")
         .drop("bu")
-        .mapInPandas(_uf, "id long, root long")
+        .mapInPandas(_uf_partition, "id long, root long")
     )
     mu = mapping.select(F.col("id").alias("u"), F.col("root").alias("ru"))
     mv = mapping.select(F.col("id").alias("v"), F.col("root").alias("rv"))

@@ -1068,6 +1068,18 @@ def q_curation_funnel(spark, sf_dir) -> DataFrame:
         docs.withColumn("fp", T.fingerprint(F.col("text")))
         .withColumn("rn", F.row_number().over(w))
     ).localCheckpoint(eager=True)
+    # AQE rightly coalesces the gate corpus's window shuffle to ONE
+    # partition, but the checkpoint freezes that layout — and the
+    # downstream MinHash stage (the funnel's heaviest per-row math)
+    # would then run single-task (measured 5.5s serial vs 0.6s spread
+    # at sf0.1).  Re-spread only when the materialized layout actually
+    # collapsed below the core count; at cluster scale the coalesced
+    # partitions are advisory-sized and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if staged.rdd.getNumPartitions() < par:
+        staged = staged.repartition(2 * par, "doc_id").localCheckpoint(
+            eager=True
+        )
     survivors = staged.where(F.col("rn") == 1).select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(survivors, threshold=0.5)
     nd = (
