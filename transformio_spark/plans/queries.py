@@ -31,16 +31,19 @@ def _e(col, n: int = 6):
     return F.round(col * float(10 ** n), 0).cast("long")
 
 
-# (session id, sf_dir) -> the extracted-points DataFrame.  This
-# memoizes the PLAN (an immutable lazy DataFrame), never data: every
-# action over it still recomputes from the parquet inputs.  Rebuilding
-# the identical docs_spans+extract expression tree cost ~0.3 s of
-# driver time per query construction across ~30 gate queries.
+# (session, sf_dir) -> the extracted-points DataFrame.  This memoizes
+# the PLAN (an immutable lazy DataFrame), never data: every action
+# over it still recomputes from the parquet inputs.  Rebuilding the
+# identical docs_spans+extract expression tree cost ~0.3 s of driver
+# time per query construction across ~30 gate queries.  Keyed by the
+# SparkSession OBJECT (not id()): holding the reference keeps a
+# stopped session's address from being reused by a new session, so a
+# fresh session can never see a stale dead-session plan.
 _POINTS_DF_CACHE: dict = {}
 
 
 def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     df = _POINTS_DF_CACHE.get(key)
     if df is None:
         docs = synth.docs_spans(spark, sf_dir, media_only=True)

@@ -31,7 +31,7 @@ def raw_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits and skips this)."""
     scan = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism * 2
-    cache_key = (id(spark), f"{sf_dir}/documents.parquet")
+    cache_key = (spark, f"{sf_dir}/documents.parquet")
     need = _REPARTITION_CACHE.get(cache_key)
     if need is None:
         need = scan.rdd.getNumPartitions() < par
@@ -49,7 +49,8 @@ _SPAN_FIELDS = "kind string, text string, media_ref string, offset int"
 # pure text-analysis operators.
 DOC_NUM_SQL = "(l_orderkey * 8 + l_linenumber)"
 
-# (session id, sf_dir) -> bool: does the local scan need a repartition?
+# (session, sf_dir) -> bool: does the local scan need a repartition?
+# (keyed by the session OBJECT so a reused id() cannot alias sessions)
 _REPARTITION_CACHE: dict = {}
 
 
@@ -89,7 +90,7 @@ def docs_spans(
     # The plan->RDD probe costs a driver-side conversion per call; the
     # answer only depends on (session, path), so cache the decision —
     # 30+ gate queries otherwise re-probe the same scan.
-    cache_key = (id(spark), sf_dir)
+    cache_key = (spark, sf_dir)
     need = _REPARTITION_CACHE.get(cache_key)
     if need is None:
         need = scan.rdd.getNumPartitions() < par
