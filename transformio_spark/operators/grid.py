@@ -204,6 +204,16 @@ def grid_dbscan(
         F.col(value).alias("n"),
         (F.col(ty) * width + F.col(tx)).cast("long").alias("cell_id"),
     ).localCheckpoint(eager=True)
+    # AQE coalesces the small aggregate's shuffle and the checkpoint
+    # freezes that layout; re-spread when it collapsed below the core
+    # count so the spread/neighbor-join stages stay parallel (no-op
+    # at cluster scale — same guard as the curation funnel)
+    spark = core.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if core.rdd.getNumPartitions() < par:
+        core = core.repartition(2 * par, "cell_id").localCheckpoint(
+            eager=True
+        )
     # 4 forward offsets cover each unordered 8-neighbor pair once:
     # E, SE, S, SW (the backward four are the same pairs reversed).
     fwd = F.array(
