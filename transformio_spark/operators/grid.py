@@ -52,8 +52,6 @@ def _precontracted_components(
     tests/test_grid_precontract.py.
 
     Returns (id, comp) for every id appearing in ``pairs``."""
-    from .dedup import _star_components
-
     # materialize the pair set once: internal/cross/node derivations
     # each re-evaluated the whole upstream edge-generation subtree
     # (extract -> counts -> spread -> join) otherwise.  Same
@@ -100,7 +98,19 @@ def _precontracted_components(
         )
         .where(F.col("u") != F.col("v"))
     )
-    star = _star_components(contracted)
+    # round 6: the boundary graph goes through the generic
+    # connected_components, whose hash-lane local union-find collapses
+    # a gate-scale boundary set (measured: 210 contracted edges at
+    # sf0.1) in one task with zero global star rounds; "star" stays
+    # the global algorithm for the adversarial-depth case.
+    from .dedup import connected_components
+
+    star = connected_components(
+        contracted.select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b")
+        ),
+        algorithm="star",
+    )
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
