@@ -174,22 +174,77 @@ def with_s2_cell(df, lon: Column, lat: Column, level: int = S2_LEVEL,
     and blows up optimizer + codegen time (measured: minutes, even on
     a 6-row frame).  CollapseProject keeps the split (non-cheap
     producers consumed more than once are not re-inlined)."""
-    face, i, j = face_ij(lon, lat, level)
     # collision guard (ADVICE r05): the fixed temp names would make
-    # the select("*", ...) below fail with a confusing duplicate-name
+    # the staged selects below fail with a confusing duplicate-name
     # error (or silently shadow) if the caller already carries them
-    clash = [
-        c
-        for c in df.columns
-        if c in ("_s2_face", "_s2_i", "_s2_j", "_h_st", "_h_d")
-    ]
+    temp_names = (
+        "_s2_x", "_s2_y", "_s2_z", "_s2_ax", "_s2_mj", "_s2_face",
+        "_s2_u", "_s2_v", "_s2_s", "_s2_t", "_s2_i", "_s2_j",
+        "_h_st", "_h_d",
+    )
+    clash = [c for c in df.columns if c in temp_names]
     if clash:
         raise ValueError(
             f"with_s2_cell: input columns {clash} collide with the "
             "operator's temp names"
         )
-    tmp = df.select(
-        "*", face.alias("_s2_face"), i.alias("_s2_i"), j.alias("_s2_j")
+    # round 6: stage EVERY intermediate of the face/uv/st chain as a
+    # materialized column.  Inlining duplicated the trig subtree tens
+    # of times across the face/u/v CASE branches — and CASE branches
+    # defeat codegen subexpression elimination (the round-5 Mollweide
+    # lesson), so the duplication was paid at ANALYSIS time and at
+    # RUNTIME.  Per-value double ops are identical, so results are
+    # bit-equal (pinned by the s2 suite + the driver oracle).
+    x, y, z = _xyz(lon, lat)
+    tmp = df.withColumns(
+        {"_s2_x": x, "_s2_y": y, "_s2_z": z}
+    )
+    xc, yc, zc = F.col("_s2_x"), F.col("_s2_y"), F.col("_s2_z")
+    ax, ay, az = F.abs(xc), F.abs(yc), F.abs(zc)
+    axis = (
+        F.when((ax >= ay) & (ax >= az), F.lit(0))
+        .when(ay >= az, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    tmp = tmp.withColumns({"_s2_ax": axis})
+    major = (
+        F.when(F.col("_s2_ax") == 0, xc)
+        .when(F.col("_s2_ax") == 1, yc)
+        .otherwise(zc)
+    )
+    tmp = tmp.withColumns(
+        {
+            "_s2_face": (
+                F.col("_s2_ax") + F.when(major < 0, F.lit(3)).otherwise(F.lit(0))
+            ).cast("long")
+        }
+    )
+    fc = F.col("_s2_face")
+    u = (
+        F.when(fc == 0, yc / xc)
+        .when(fc == 1, -xc / yc)
+        .when(fc == 2, -xc / zc)
+        .when(fc == 3, zc / xc)
+        .when(fc == 4, zc / yc)
+        .otherwise(-yc / zc)
+    )
+    v = (
+        F.when(fc == 0, zc / xc)
+        .when(fc == 1, zc / yc)
+        .when(fc == 2, -yc / zc)
+        .when(fc == 3, yc / xc)
+        .when(fc == 4, -xc / yc)
+        .otherwise(-xc / zc)
+    )
+    tmp = tmp.withColumns({"_s2_u": u, "_s2_v": v})
+    tmp = tmp.withColumns(
+        {"_s2_s": _st(F.col("_s2_u")), "_s2_t": _st(F.col("_s2_v"))}
+    )
+    tmp = tmp.withColumns(
+        {
+            "_s2_i": _ij(F.col("_s2_s"), level),
+            "_s2_j": _ij(F.col("_s2_t"), level),
+        }
     )
     # round 6: stage the transducer STATE per level too.  In the
     # single-Column hilbert_d form each level's lookup key k embeds
@@ -230,7 +285,7 @@ def with_s2_cell(df, lon: Column, lat: Column, level: int = S2_LEVEL,
     ).cast("long")
     return (
         tmp.select("*", cell.alias(out))
-        .drop("_s2_face", "_s2_i", "_s2_j", "_h_st", "_h_d")
+        .drop(*temp_names)
     )
 
 
