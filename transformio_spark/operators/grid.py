@@ -208,22 +208,26 @@ def grid_dbscan(
     # spread, the neighbor join's build side, AND the final label
     # join — three full re-evaluations of the upstream points
     # pipeline otherwise.  |core| << |points| by construction.
-    core = cells.where(F.col(value) >= min_pts).select(
-        F.col(tx).alias("tx"),
-        F.col(ty).alias("ty"),
-        F.col(value).alias("n"),
-        (F.col(ty) * width + F.col(tx)).cast("long").alias("cell_id"),
-    ).localCheckpoint(eager=True)
-    # AQE coalesces the small aggregate's shuffle and the checkpoint
-    # freezes that layout; re-spread when it collapsed below the core
-    # count so the spread/neighbor-join stages stay parallel (no-op
-    # at cluster scale — same guard as the curation funnel)
-    spark = core.sparkSession
+    # repartition BEFORE the checkpoint: AQE rightly coalesces the
+    # small aggregate's shuffle, but the checkpoint would freeze that
+    # layout and serialize the spread/neighbor-join stages (the
+    # frozen-1-partition failure mode found on the curation funnel).
+    # The explicit exchange is of the ALREADY-AGGREGATED cell table
+    # (|core| << |points|), so it is cheap at any scale, and folding
+    # it into the materialization job avoids a second checkpoint.
+    spark = cells.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if core.rdd.getNumPartitions() < par:
-        core = core.repartition(2 * par, "cell_id").localCheckpoint(
-            eager=True
+    core = (
+        cells.where(F.col(value) >= min_pts)
+        .select(
+            F.col(tx).alias("tx"),
+            F.col(ty).alias("ty"),
+            F.col(value).alias("n"),
+            (F.col(ty) * width + F.col(tx)).cast("long").alias("cell_id"),
         )
+        .repartition(2 * par, "cell_id")
+        .localCheckpoint(eager=True)
+    )
     # 4 forward offsets cover each unordered 8-neighbor pair once:
     # E, SE, S, SW (the backward four are the same pairs reversed).
     fwd = F.array(
