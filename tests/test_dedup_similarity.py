@@ -525,6 +525,36 @@ def test_connected_components_star_equals_label_prop(spark):
         assert lp == st, f"trial {trial}: {lp} != {st}"
 
 
+def test_connected_components_single_lane_shortcut(spark):
+    """Round 6: a graph that fits one contraction lane returns the
+    local union-find labeling directly (zero global rounds).  The
+    short-circuit must label identically to the multi-lane global
+    path (forced via a 2-edge lane cap) for every algorithm choice."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(20):02d}", f"n{rng.randrange(20):02d}")
+        for _ in range(30)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a string, id_b string"
+    )
+    fast = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    old_cap = dedup._LOCAL_UF_MAX_EDGES
+    dedup._LOCAL_UF_MAX_EDGES = 2
+    try:
+        slow_lp = {r.id: r.comp for r in dedup.connected_components(
+            pairs, max_iter=30, algorithm="label-prop").collect()}
+        slow_st = {r.id: r.comp for r in dedup.connected_components(
+            pairs, algorithm="star").collect()}
+    finally:
+        dedup._LOCAL_UF_MAX_EDGES = old_cap
+    assert fast == slow_lp == slow_st
+    # comp is the component minimum in the short-circuit path too
+    assert all(comp <= node for node, comp in fast.items())
+
+
 def test_connected_components_deep_chain_auto_fallback(spark):
     """A 40-node path (diameter 39 > max_iter 12) — the case the old
     code refused with a hard raise.  algorithm='auto' now switches to

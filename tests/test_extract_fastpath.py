@@ -137,6 +137,54 @@ def test_gc_interpolate_staged_bit_equals_inline(spark, sf_dir):
     assert both.count() > 0
 
 
+def test_media_points_numeric_bit_equal(spark, sf_dir):
+    """The round-6 value-level fastpath (decimal snap applied directly
+    instead of render-to-media_ref + parse-back) returns exactly the
+    rows of the string path over the full corpus."""
+    slow = extract.media_points(
+        synth.docs_spans(spark, sf_dir, media_only=True)
+    )
+    fast = synth.media_points_numeric(spark, sf_dir)
+    assert [
+        (f.name, f.dataType) for f in fast.schema
+    ] == [(f.name, f.dataType) for f in slow.schema]
+    assert fast.count() == slow.count() > 0
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_points_df_matches_string_path(spark, sf_dir):
+    """End-to-end: the points_df plan (numeric fastpath + affine
+    tail) row-equals the original docs_spans -> extract_coordinates
+    composition."""
+    from transformio_spark.plans.queries import points_df
+
+    a = extract.px2geo_affine()
+    slow = extract.extract_coordinates(
+        synth.docs_spans(spark, sf_dir, media_only=True), a
+    )
+    fast = points_df(spark, sf_dir)
+    assert fast.count() == slow.count() > 0
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_span_pair_numeric_bit_equal(spark, sf_dir):
+    """The round-6 numeric span-pair fastpath row-equals the
+    string-path span_pair_points over the full corpus."""
+    a = extract.px2geo_affine()
+    slow = extract.span_pair_points(
+        synth.docs_spans(spark, sf_dir, media_only=True), a
+    )
+    fast = synth.span_pair_points_numeric(spark, sf_dir, a)
+    assert [
+        (f.name, f.dataType) for f in fast.schema
+    ] == [(f.name, f.dataType) for f in slow.schema]
+    assert fast.count() == slow.count() > 0
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
 def test_substring_parse_matches_regex(spark, sf_dir):
     """media_points' substring parse == the original regexp_extract
     parse on every span of the corpus (kind, raw_x, raw_y)."""

@@ -496,17 +496,39 @@ def connected_components(
     n_edges = half.count()
     n_parts = max(1, -(-n_edges // _LOCAL_UF_MAX_EDGES))
     id_type = dict(half.dtypes)["u"]
+    if n_parts == 1:
+        # pmod(xxhash64(id), 1) == 0 for every id: EVERY edge is
+        # lane-internal, so the single union-find task sees the whole
+        # graph, labels every node of `half`, and unions keep the
+        # minimum root — the local pass IS the full (id, comp =
+        # component min) labeling.  Returning it directly skips the
+        # structurally-empty global phase (cross-lane set is empty by
+        # construction), which otherwise still costs ~5 driver job
+        # launches (sym/labels/per-round checkpoints + counts) per
+        # call.  Same output as the composed path — pinned in
+        # tests/test_dedup_similarity.py.
+        return (
+            half.coalesce(1)
+            .mapInPandas(_uf_partition, f"id {id_type}, root {id_type}")
+            .select("id", F.col("root").alias("comp"))
+        )
     lane = {
         "lu": F.pmod(F.xxhash64(F.col("u")), F.lit(n_parts)),
         "lv": F.pmod(F.xxhash64(F.col("v")), F.lit(n_parts)),
     }
     tagged = half.withColumns(lane)
+    # materialized ONCE (round 6): mapping feeds mu, mv and compose's
+    # node-labeling join — MapInPandas sits above the reusable
+    # exchange, so without the checkpoint each subtree copy re-ran the
+    # per-lane union-find pass.  |mapping| is bounded by the lane-
+    # internal edge endpoints (same scale argument as ``half``).
     mapping = (
         tagged.where(F.col("lu") == F.col("lv"))
         .select("u", "v", "lu")
         .repartition(n_parts, "lu")
         .drop("lu")
         .mapInPandas(_uf_partition, f"id {id_type}, root {id_type}")
+        .localCheckpoint(eager=True)
     )
     cross = tagged.where(F.col("lu") != F.col("lv")).select("u", "v")
     mu = mapping.select(F.col("id").alias("u"), F.col("root").alias("ru"))

@@ -164,14 +164,14 @@ def span_pair_points(docs: DataFrame, affine_A: np.ndarray) -> DataFrame:
     )
 
 
-def extract_coordinates(
-    docs: DataFrame, affine_A: np.ndarray, carry: tuple[str, ...] = ()
+def finish_coordinates(
+    pts: DataFrame, affine_A: np.ndarray, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """The full N1 stage: media spans → (doc_id, span_pos, lon, lat).
-
-    geo payloads pass through; px payloads go through the fitted
-    affine and are snapped to the payload lattice (4 decimals)."""
-    pts = media_points(docs, carry)
+    """The affine/snap tail of extract_coordinates over an already
+    parsed (doc_id, doc_num, [carry,] span_pos, ref_kind, raw_x,
+    raw_y) table — shared by the span-parsing path and the round-6
+    numeric fastpath (sources/synth.media_points_numeric), so the two
+    can never drift."""
     px_lon, px_lat = geo.affine_predict(
         affine_A.tolist(), F.col("raw_x"), F.col("raw_y")
     )
@@ -190,3 +190,13 @@ def extract_coordinates(
         lon.alias("lon"),
         lat.alias("lat"),
     )
+
+
+def extract_coordinates(
+    docs: DataFrame, affine_A: np.ndarray, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The full N1 stage: media spans → (doc_id, span_pos, lon, lat).
+
+    geo payloads pass through; px payloads go through the fitted
+    affine and are snapped to the payload lattice (4 decimals)."""
+    return finish_coordinates(media_points(docs, carry), affine_A, carry)

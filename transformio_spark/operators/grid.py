@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 
 def _precontracted_components(
-    pairs: DataFrame, width: int, block_bits: int = 5
+    pairs: DataFrame,
+    width: int,
+    block_bits: int = 5,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over a grid-cell adjacency pair set with
     PARTITION-LOCAL PRE-CONTRACTION (round 6, guide §1.2 "fix the
@@ -81,11 +84,17 @@ def _precontracted_components(
 
     from .dedup import _uf_partition
 
+    # materialize the local-contraction mapping ONCE (round 6): it
+    # feeds mu, mv AND the final node-labeling join — three separate
+    # plan subtrees otherwise, and MapInPandas sits ABOVE the reusable
+    # exchange, so each copy re-ran the per-block union-find pass.
+    # |mapping| <= |internal edge endpoints| — bounded like the edges.
     mapping = (
         internal.select("u", "v", "bu")
         .repartition(n_parts, "bu")
         .drop("bu")
         .mapInPandas(_uf_partition, "id long, root long")
+        .localCheckpoint(eager=True)
     )
     mu = mapping.select(F.col("id").alias("u"), F.col("root").alias("ru"))
     mv = mapping.select(F.col("id").alias("v"), F.col("root").alias("rv"))
@@ -111,11 +120,18 @@ def _precontracted_components(
         ),
         algorithm="star",
     )
-    nodes = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
-        .distinct()
-    )
+    # round 6: callers that already hold a materialized SUPERSET of
+    # the edge nodes (grid_dbscan's checkpointed core table — every
+    # edge endpoint is a core cell) pass it as ``nodes`` and skip the
+    # union+distinct re-derivation from the edge set; extra ids label
+    # as singletons (comp = id), exactly what the downstream
+    # coalesce(comp, cell_id) produced for them before.
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("u").alias("id"))
+            .union(edges.select(F.col("v").alias("id")))
+            .distinct()
+        )
     base = nodes.join(mapping, "id", "left").select(
         "id", F.coalesce(F.col("root"), F.col("id")).alias("r")
     )
@@ -258,7 +274,9 @@ def grid_dbscan(
     # O(log^2 n) star rounds only see block-boundary edges
     # (_precontracted_components; 47s -> 31s -> 20s -> measured in
     # OPTIMIZATION_r06.md).
-    labels = _precontracted_components(pairs, width=width)
+    labels = _precontracted_components(
+        pairs, width=width, nodes=core.select(F.col("cell_id").alias("id"))
+    )
     labeled = core.join(
         labels.withColumnRenamed("id", "cell_id"), on="cell_id", how="left"
     ).withColumn("comp", F.coalesce(F.col("comp"), F.col("cell_id")))

@@ -31,6 +31,19 @@ def _e(col, n: int = 6):
     return F.round(col * float(10 ** n), 0).cast("long")
 
 
+def _bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a GRID-BOUNDED output (round 6, guide §2.4):
+    callers' row counts are capped by a fixed cell grid (zoom-10
+    tiles <= 524,288; zoom-8 Morton cells <= 65,536) at ANY corpus
+    scale, so the global-sort machinery — range-exchange sampling pass
+    + shuffle + per-partition sorts — costs more than one bounded
+    task sorting the whole (small) result.  Row order is identical to
+    orderBy(*cols); measured −0.5 s on hotspot_focal's 438 k rows at
+    sf0.1.  NOT for outputs that grow with the corpus (doc- or
+    pair-keyed results keep the scalable orderBy)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 # (session, sf_dir) -> the extracted-points DataFrame.  This memoizes
 # the PLAN (an immutable lazy DataFrame), never data: every action
 # over it still recomputes from the parquet inputs.  Rebuilding the
@@ -46,9 +59,13 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     df = _POINTS_DF_CACHE.get(key)
     if df is None:
-        docs = synth.docs_spans(spark, sf_dir, media_only=True)
-        affine_a = extract.px2geo_affine()
-        df = extract.extract_coordinates(docs, affine_a)
+        # round 6: the numeric media-span fastpath — identical rows to
+        # extract_coordinates(docs_spans(media_only=True), A) without
+        # materializing + re-parsing the media_ref strings (pinned
+        # bit-equal over the full corpus in
+        # tests/test_extract_fastpath.py)
+        pts = synth.media_points_numeric(spark, sf_dir)
+        df = extract.finish_coordinates(pts, extract.px2geo_affine())
         _POINTS_DF_CACHE[key] = df
     return df
 
@@ -215,9 +232,11 @@ def q_affine_fit(spark, sf_dir) -> DataFrame:
 def q_span_pair_distance(spark, sf_dir) -> DataFrame:
     """Haversine metrics (reference accuracy.py:22-41 formulation,
     R=6367) between each doc's primary and secondary media points."""
-    docs = synth.docs_spans(spark, sf_dir, media_only=True)
-    affine_a = extract.px2geo_affine()
-    pairs = extract.span_pair_points(docs, affine_a)
+    # round 6: numeric span-pair fastpath (no media_ref render+parse;
+    # pinned row-equal in tests/test_extract_fastpath.py)
+    pairs = synth.span_pair_points_numeric(
+        spark, sf_dir, extract.px2geo_affine()
+    )
     d = geo.haversine_km(F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))
     paired = pairs.select(d.alias("dist_km"))
     return paired.agg(
@@ -312,8 +331,16 @@ def q_embedding_int8_rerank(spark, sf_dir) -> DataFrame:
     # The global top-K under a total order (approx desc, vec_id asc)
     # is contained in the union of per-salt top-Ks, so the candidate
     # set is unchanged.
+    # round 6 (§2.3 shuffle keys, not payloads): the two ranking
+    # windows used to carry BOTH 64-element long arrays (qa, q1k)
+    # per corpus row through their shuffles; the ranking only needs
+    # (query_id, vec_id, approx_e6).  The arrays re-attach to the
+    # <= 10*INT8_CAND survivors afterwards — the candidate list is
+    # broadcast, so the corpus side is never shuffled for the attach
+    # either.  Values come from the same base/queries expressions over
+    # the same parquet rows -> d2 and the final ranking are identical.
     scored = pairs.select(
-        "query_id", "vec_id", "qa", "q1k", approx.alias("approx_e6")
+        "query_id", "vec_id", approx.alias("approx_e6")
     ).withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(32)))
     w0 = Window.partitionBy("query_id", "_salt").orderBy(
         F.desc("approx_e6"), F.asc("vec_id")
@@ -324,10 +351,15 @@ def q_embedding_int8_rerank(spark, sf_dir) -> DataFrame:
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("approx_e6"), F.asc("vec_id")
     )
-    cand = (
-        pre.select("query_id", "vec_id", "qa", "q1k", "approx_e6")
+    cand_keys = (
+        pre.select("query_id", "vec_id", "approx_e6")
         .withColumn("crnk", F.row_number().over(w1))
         .where(F.col("crnk") <= INT8_CAND)
+    )
+    cand = base.select("vec_id", "q1k").join(
+        F.broadcast(cand_keys), "vec_id"
+    ).join(
+        F.broadcast(queries.select("query_id", "qa")), "query_id"
     )
     d2 = F.aggregate(
         F.zip_with(F.col("qa"), F.col("q1k"), lambda a, b: (a - b) * (a - b)),
@@ -1887,9 +1919,11 @@ def q_gc_waypoints(spark, sf_dir) -> DataFrame:
     inside tile_xy is the only continuous→discrete edge, and the
     per-waypoint drift-vs-margin property is pinned in
     tests/test_spark_operators.py."""
-    docs = synth.docs_spans(spark, sf_dir, media_only=True)
-    affine_a = extract.px2geo_affine()
-    pairs = extract.span_pair_points(docs, affine_a)
+    # round 6: numeric span-pair fastpath (no media_ref render+parse;
+    # pinned row-equal in tests/test_extract_fastpath.py)
+    pairs = synth.span_pair_points_numeric(
+        spark, sf_dir, extract.px2geo_affine()
+    )
     # round 6: staged slerp — same math as gc_interpolate_sql (the
     # oracle keeps the verbatim inline text), with d/a/b/x/y/z
     # materialized once per row instead of re-evaluated per textual
@@ -2032,15 +2066,15 @@ def q_hotspot_focal(spark, sf_dir) -> DataFrame:
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
-        focal_sum(counts, radius=1)
-        .select(
+    return _bounded_sort(
+        focal_sum(counts, radius=1).select(
             F.col("tx").cast("long").alias("tx"),
             F.col("ty").cast("long").alias("ty"),
             F.col("n").cast("long").alias("n"),
             F.col("focal_sum").cast("long").alias("focal_sum"),
-        )
-        .orderBy("tx", "ty")
+        ),
+        "tx",
+        "ty",
     )
 
 
@@ -2064,14 +2098,14 @@ def q_tile_rollup(spark, sf_dir) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
+    return _bounded_sort(
         child.withColumn("cell8", tiles.cell_parent(F.col("c12"), 12, 8))
         .groupBy("cell8")
         .agg(
             F.sum("n").alias("n_points"),
             F.count(F.lit(1)).alias("n_child_cells"),
-        )
-        .orderBy("cell8")
+        ),
+        "cell8",
     )
 
 

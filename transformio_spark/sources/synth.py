@@ -54,6 +54,171 @@ DOC_NUM_SQL = "(l_orderkey * 8 + l_linenumber)"
 _REPARTITION_CACHE: dict = {}
 
 
+def _spans_base(
+    spark: SparkSession, sf_dir: str, with_text: bool
+) -> DataFrame:
+    """Shared per-doc base table for docs_spans / media_points_numeric:
+    doc_num + the point-derivation columns (+ the md5 text when asked).
+
+    The local testdata is a single-row-group parquet file → one scan
+    split; without an explicit repartition every downstream narrow
+    op would run on ONE task regardless of core count.  On a real
+    cluster the Iceberg scan yields many splits and the exchange
+    would be pure waste — so it is CONDITIONAL on the actual scan
+    parallelism (driver-side plan inspection, no job).  Results are
+    partitioning-independent either way."""
+    e = synthspec.point_exprs_sql("doc_num")
+    par = spark.sparkContext.defaultParallelism * 2
+    scan = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{DOC_NUM_SQL} AS doc_num",
+    )
+    # The plan->RDD probe costs a driver-side conversion per call; the
+    # answer only depends on (session, path), so cache the decision —
+    # 30+ gate queries otherwise re-probe the same scan.
+    cache_key = (spark, sf_dir)
+    need = _REPARTITION_CACHE.get(cache_key)
+    if need is None:
+        need = scan.rdd.getNumPartitions() < par
+        _REPARTITION_CACHE[cache_key] = need
+    if need:
+        scan = scan.repartition(par, "doc_num")
+    # two-stage select: px_col/px_row re-use the already-computed
+    # lon/lat columns instead of re-expanding the CASE derivation text
+    # (e["px_col"] is literally "((<base_lon>) + 180e0) * 100e0", so
+    # staging evaluates the identical double ops on the identical
+    # input — bit-equal, ~2x fewer CASE evaluations per row).
+    text_cols = (
+        "concat(md5(cast(doc_num as string)), "
+        "md5(cast(doc_num + 1 as string)), "
+        "md5(cast(doc_num + 2 as string))) AS text",
+    ) if with_text else ()
+    return scan.selectExpr(
+        "doc_num",
+        *text_cols,
+        f"{e['lon']} AS lon",
+        f"{e['lat']} AS lat",
+        f"{e['is_px']} AS is_px",
+        f"{e['has_second']} AS has_second",
+        f"{e['lon2']} AS lon2",
+        f"{e['lat2']} AS lat2",
+    ).withColumns(
+        {
+            "px_col": F.expr("(lon + 180e0) * 100e0"),
+            "px_row": F.expr("(lat + 85e0) * 100e0"),
+        }
+    )
+
+
+def _doc_id_col() -> F.Column:
+    return F.concat(
+        F.lit("doc-"), F.lpad(F.col("doc_num").cast("string"), 12, "0")
+    )
+
+
+def media_points_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-LEVEL twin of
+    ``extract.media_points(docs_spans(spark, sf_dir, media_only=True))``
+    (round 6, guide §4/§2.3: keep the JVM work, drop the string
+    round-trip): (doc_id, doc_num, span_pos, ref_kind, raw_x, raw_y)
+    with bit-identical rows, WITHOUT materializing the ``media_ref``
+    strings that extraction immediately parses back.
+
+    Why this is exact: a payload coordinate's observable value is
+    defined by its fixed-scale decimal rendering —
+    ``cast(double as decimal(14,s))`` (HALF_UP) then parse-to-double.
+    Both ``cast(decimal as string)`` → ``cast(string as double)`` and
+    the direct ``cast(decimal as double)`` produce the correctly
+    rounded nearest double of the SAME decimal value, so applying the
+    decimal cast value-side replaces render+parse bit-for-bit (pinned
+    over the full corpus in tests/test_extract_fastpath.py).  The
+    span structure (presence condition, ordering, span_pos) is the
+    media-only layout verbatim."""
+    base = _spans_base(spark, sf_dir, with_text=False)
+
+    def snap(col: str, scale: int):
+        return F.col(col).cast(f"decimal(14,{scale})").cast("double")
+
+    primary = F.struct(
+        F.when(F.col("is_px"), F.lit("px")).otherwise(F.lit("geo")).alias(
+            "ref_kind"
+        ),
+        F.when(F.col("is_px"), snap("px_col", 2))
+        .otherwise(snap("lon", 4))
+        .alias("raw_x"),
+        F.when(F.col("is_px"), snap("px_row", 2))
+        .otherwise(snap("lat", 4))
+        .alias("raw_y"),
+    )
+    secondary = F.struct(
+        F.lit("geo").alias("ref_kind"),
+        snap("lon2", 4).alias("raw_x"),
+        snap("lat2", 4).alias("raw_y"),
+    )
+    spans = F.filter(
+        F.array(primary, secondary),
+        lambda s, i: (i == 0) | ((i == 1) & (F.col("doc_num") % 3 == 2)),
+    )
+    return (
+        base.select(
+            _doc_id_col().alias("doc_id"),
+            "doc_num",
+            F.posexplode(spans).alias("span_pos", "_s"),
+        )
+        .select(
+            "doc_id",
+            "doc_num",
+            "span_pos",
+            F.col("_s.ref_kind").alias("ref_kind"),
+            F.col("_s.raw_x").alias("raw_x"),
+            F.col("_s.raw_y").alias("raw_y"),
+        )
+    )
+
+
+def span_pair_points_numeric(
+    spark: SparkSession, sf_dir: str, affine_A
+) -> DataFrame:
+    """VALUE-LEVEL twin of
+    ``extract.span_pair_points(docs_spans(spark, sf_dir,
+    media_only=True), affine_A)`` — the (primary, secondary) pair
+    table without the media_ref render+parse round trip, same decimal
+    snap argument as media_points_numeric (pinned row-equal in
+    tests/test_extract_fastpath.py)."""
+    from ..functions import geo
+
+    base = _spans_base(spark, sf_dir, with_text=False).where(
+        F.col("doc_num") % 3 == 2
+    )
+
+    def snap(col: str, scale: int):
+        return F.col(col).cast(f"decimal(14,{scale})").cast("double")
+
+    rx0 = F.when(F.col("is_px"), snap("px_col", 2)).otherwise(snap("lon", 4))
+    ry0 = F.when(F.col("is_px"), snap("px_row", 2)).otherwise(snap("lat", 4))
+    staged = base.select(
+        _doc_id_col().alias("doc_id"),
+        "doc_num",
+        F.col("is_px").alias("_px0"),
+        rx0.alias("_rx0"),
+        ry0.alias("_ry0"),
+        snap("lon2", 4).alias("lon1"),
+        snap("lat2", 4).alias("lat1"),
+    )
+    alon, alat = geo.affine_predict(
+        affine_A.tolist(), F.col("_rx0"), F.col("_ry0")
+    )
+    lon0 = F.when(F.col("_px0"), F.round(alon, 4)).otherwise(F.col("_rx0"))
+    lat0 = F.when(F.col("_px0"), F.round(alat, 4)).otherwise(F.col("_ry0"))
+    return staged.select(
+        "doc_id",
+        "doc_num",
+        lon0.alias("lon0"),
+        lat0.alias("lat0"),
+        "lon1",
+        "lat1",
+    )
+
+
 def docs_spans(
     spark: SparkSession, sf_dir: str, media_only: bool = False
 ) -> DataFrame:
@@ -75,53 +240,7 @@ def docs_spans(
     cannot prune out of the constructed array (pinned equal in
     tests/test_extract_fastpath.py).
     """
-    e = synthspec.point_exprs_sql("doc_num")
-    # The local testdata is a single-row-group parquet file → one scan
-    # split; without an explicit repartition every downstream narrow
-    # op would run on ONE task regardless of core count.  On a real
-    # cluster the Iceberg scan yields many splits and the exchange
-    # would be pure waste — so it is CONDITIONAL on the actual scan
-    # parallelism (driver-side plan inspection, no job).  Results are
-    # partitioning-independent either way.
-    par = spark.sparkContext.defaultParallelism * 2
-    scan = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
-        f"{DOC_NUM_SQL} AS doc_num",
-    )
-    # The plan->RDD probe costs a driver-side conversion per call; the
-    # answer only depends on (session, path), so cache the decision —
-    # 30+ gate queries otherwise re-probe the same scan.
-    cache_key = (spark, sf_dir)
-    need = _REPARTITION_CACHE.get(cache_key)
-    if need is None:
-        need = scan.rdd.getNumPartitions() < par
-        _REPARTITION_CACHE[cache_key] = need
-    if need:
-        scan = scan.repartition(par, "doc_num")
-    # two-stage select: px_col/px_row re-use the already-computed
-    # lon/lat columns instead of re-expanding the CASE derivation text
-    # (e["px_col"] is literally "((<base_lon>) + 180e0) * 100e0", so
-    # staging evaluates the identical double ops on the identical
-    # input — bit-equal, ~2x fewer CASE evaluations per row).
-    text_cols = () if media_only else (
-        "concat(md5(cast(doc_num as string)), "
-        "md5(cast(doc_num + 1 as string)), "
-        "md5(cast(doc_num + 2 as string))) AS text",
-    )
-    base = scan.selectExpr(
-        "doc_num",
-        *text_cols,
-        f"{e['lon']} AS lon",
-        f"{e['lat']} AS lat",
-        f"{e['is_px']} AS is_px",
-        f"{e['has_second']} AS has_second",
-        f"{e['lon2']} AS lon2",
-        f"{e['lat2']} AS lat2",
-    ).withColumns(
-        {
-            "px_col": F.expr("(lon + 180e0) * 100e0"),
-            "px_row": F.expr("(lat + 85e0) * 100e0"),
-        }
-    )
+    base = _spans_base(spark, sf_dir, with_text=not media_only)
     # fixed-scale decimal rendering: cast(double -> decimal(14,s) ->
     # string) prints the same digits as format_string("%.sf") here
     # (both round HALF_UP at a scale the values already live on — the
