@@ -63,6 +63,33 @@ def test_precontract_equals_star(spark, case):
     assert len(fast) > 0
 
 
+def test_grid_dbscan_direct_equals_block_path(spark):
+    """Round 6: the single-task union-find shortcut must produce the
+    same clusters as the block pre-contraction + star pipeline (forced
+    via the edge cap) on a random grid."""
+    from transformio_spark.operators import grid as G
+
+    rng = random.Random(11)
+    rows = [(tx, ty, 3) for tx, ty in
+            {(rng.randrange(80), rng.randrange(80)) for _ in range(1200)}]
+    cells = spark.createDataFrame(rows, "tx long, ty long, n long")
+
+    def run():
+        return sorted(
+            tuple(r) for r in grid_dbscan(cells, min_pts=3, width=256).collect()
+        )
+
+    direct = run()
+    old_cap = G._DIRECT_UF_MAX_EDGES
+    G._DIRECT_UF_MAX_EDGES = 0
+    try:
+        block = run()
+    finally:
+        G._DIRECT_UF_MAX_EDGES = old_cap
+    assert direct == block
+    assert len(direct) > 1
+
+
 def test_grid_dbscan_output_unchanged(spark):
     """grid_dbscan end-to-end on a crafted cell table: same clusters
     as the label set implies (cluster ids are component minima)."""

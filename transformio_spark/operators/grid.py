@@ -28,6 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: max adjacency edges handled by ONE union-find task (round 6): the
+#: 4-forward-offset edge set is <= 4x the core-cell count, so a core
+#: table under this/4 cells fits one bounded task (~50 MB dict state
+#: at the cap — the same order as a shuffle partition's working set).
+#: Grid cell tables are capped by the zoom grid itself (zoom 8:
+#: 65,536 cells -> <= 262,144 edges at ANY corpus scale), so the gate
+#: query takes this path forever; finer grids beyond the cap fall
+#: back to the block pre-contraction + global star pipeline.
+_DIRECT_UF_MAX_EDGES = 400_000
+
 
 def _precontracted_components(
     pairs: DataFrame,
@@ -266,6 +276,38 @@ def grid_dbscan(
         on=["tx", "ty"],
         how="inner",
     ).select("id_a", "id_b")
+    # round 6 (§1.2 measure first): when the WHOLE adjacency set fits
+    # one bounded union-find task, run it directly — the block
+    # pre-contraction + global-star pipeline is ~8 driver job barriers
+    # (edge/mapping/half checkpoints, counts, star rounds) and
+    # measured 6.75 s where the single task costs 0.93 s at sf0.1.
+    # |edges| <= 4|core| and core is already materialized, so the
+    # decision is one cheap count on checkpointed data; the zoom-8
+    # gate grid keeps 4|core| under the cap at any corpus size, while
+    # finer grids fall back to the scale-out path.  Union-by-min makes
+    # the task's roots the component minima — identical labels to the
+    # star path (pinned in tests/test_grid_precontract.py).
+    if 4 * core.count() <= _DIRECT_UF_MAX_EDGES:
+        from .dedup import _uf_partition
+
+        labels = (
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .coalesce(1)
+            .mapInPandas(_uf_partition, "id long, root long")
+            .select(F.col("id").alias("cell_id"), F.col("root").alias("comp"))
+        )
+        labeled = core.join(labels, on="cell_id", how="left").withColumn(
+            "comp", F.coalesce(F.col("comp"), F.col("cell_id"))
+        )
+        return labeled.groupBy(F.col("comp").alias("cluster_id")).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_points"),
+            F.min("tx").alias("tx_min"),
+            F.max("tx").alias("tx_max"),
+            F.min("ty").alias("ty_min"),
+            F.max("ty").alias("ty_max"),
+        )
     # grid components are routinely HIGH-diameter (a connected band of
     # core cells is a hops-long snake: measured diameter >> 12 on the
     # sf0.1 gate corpus — one 65k-cell component), so skip the
