@@ -31,13 +31,21 @@ def _e(col, n: int = 6):
     return F.round(col * float(10 ** n), 0).cast("long")
 
 
-# NOTE (round 6 negative result, §1.1 measure with the REAL sink): a
-# repartition(1).sortWithinPartitions "bounded sort" for the
-# grid-capped outputs (hotspot_focal 438 k rows, tile_rollup 65 k)
-# measured −0.5 s under a noop sink but +1-2 s under the bench's
-# collect() — the single partition serializes every result row on one
-# core, where the range-sorted plan encodes 64 partitions in
-# parallel.  The global orderBy stays.
+def _bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a GRID-BOUNDED output (round 6, guide §2.4):
+    callers' row counts are capped by a fixed cell grid (zoom-10
+    tiles <= 524,288 rows; zoom-8 Morton cells <= 65,536) at ANY
+    corpus scale, so the global-sort machinery — range-exchange
+    sampling pass + shuffle + per-partition sorts — costs more than
+    ONE bounded task sorting the whole result.  Row order is
+    identical to orderBy(*cols).  Interleaved same-session probes on
+    hotspot_focal's 438 k rows: noop sink 3.05 → 2.56 s, collect sink
+    4.49 → 4.11 s (driver-side deserialization dominates collect
+    either way, so the single-task row encoding is NOT a bottleneck —
+    first suspected from contended in-bench samples, then refuted by
+    the controlled probe).  NOT for outputs that grow with the
+    corpus; those keep the scalable orderBy."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 # (session, sf_dir) -> the extracted-points DataFrame.  This memoizes
@@ -2062,15 +2070,15 @@ def q_hotspot_focal(spark, sf_dir) -> DataFrame:
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
-        focal_sum(counts, radius=1)
-        .select(
+    return _bounded_sort(
+        focal_sum(counts, radius=1).select(
             F.col("tx").cast("long").alias("tx"),
             F.col("ty").cast("long").alias("ty"),
             F.col("n").cast("long").alias("n"),
             F.col("focal_sum").cast("long").alias("focal_sum"),
-        )
-        .orderBy("tx", "ty")
+        ),
+        "tx",
+        "ty",
     )
 
 
@@ -2094,14 +2102,14 @@ def q_tile_rollup(spark, sf_dir) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
+    return _bounded_sort(
         child.withColumn("cell8", tiles.cell_parent(F.col("c12"), 12, 8))
         .groupBy("cell8")
         .agg(
             F.sum("n").alias("n_points"),
             F.count(F.lit(1)).alias("n_child_cells"),
-        )
-        .orderBy("cell8")
+        ),
+        "cell8",
     )
 
 
