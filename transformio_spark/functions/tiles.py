@@ -173,12 +173,16 @@ def _geohash_bits(precision: int) -> tuple[int, int]:
     return (total + 1) // 2, total // 2  # lon bits, lat bits
 
 
-def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
-    """Geohash string of a point — true geohash domain (lon [-180,180),
-    lat [-90,90)), e4-lattice integer-exact bin math like tile_xy, bit
-    interleave via the Morton magic masks (lon takes the MSB), then 5-bit
-    groups through the published base-32 alphabet.  Pure Column
-    arithmetic — whole-stage codegen, no UDF."""
+def geohash_val(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """The 5·precision-bit geohash INTEGER of a point — true geohash
+    domain (lon [-180,180), lat [-90,90)), e4-lattice integer-exact
+    bin math like tile_xy, bit interleave via the Morton magic masks
+    (lon takes the MSB).  ``geohash_from_val`` renders it through the
+    published alphabet; because GEOHASH_B32 is ASCII-ASCENDING
+    (asserted in tests), fixed-precision geohash STRINGS order exactly
+    like these integers — so aggregations can group/rank on the long
+    and render only the surviving rows (round 6, §2.3 shuffle keys,
+    not payloads)."""
     nlon, nlat = _geohash_bits(precision)
     bx = F.floor((lon_e4(lon) + 1_800_000) * (1 << nlon) / float(LON_SPAN_E4))
     by = F.floor(
@@ -195,6 +199,12 @@ def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
         val = F.shiftleft(_interleave(bx, nlon), 1).bitwiseOR(
             _interleave(by, nlat)
         )
+    return val
+
+
+def geohash_from_val(val: Column, precision: int = 6) -> Column:
+    """Render a geohash integer (``geohash_val``) through the
+    published base-32 alphabet — 5-bit groups, MSB first."""
     alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_B32])
     chars = [
         F.element_at(
@@ -208,6 +218,13 @@ def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
         for j in range(precision)
     ]
     return F.concat(*chars)
+
+
+def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Geohash string of a point (Niemeyer 2008): geohash_val rendered
+    through the base-32 alphabet.  Pure Column arithmetic —
+    whole-stage codegen, no UDF."""
+    return geohash_from_val(geohash_val(lon, lat, precision), precision)
 
 
 def geohash_sql(lon: str, lat: str, precision: int = 6) -> str:

@@ -1967,17 +1967,29 @@ def q_geohash_counts(spark, sf_dir) -> DataFrame:
     both are pinned against an iterative-bisection third
     implementation + published test vectors in
     tests/test_spark_operators.py."""
+    # round 6 (§2.3 shuffle keys, not payloads): group/rank on the
+    # geohash INTEGER and render the base-32 string only for the 100
+    # surviving rows.  GEOHASH_B32 is ASCII-ascending (pinned in
+    # tests), so fixed-precision geohash strings order exactly like
+    # their integers and (n desc, gh asc) == (n desc, val asc);
+    # the rendered output is identical string-for-string.
     pts = points_df(spark, sf_dir)
     return (
         pts.select(
-            tiles.geohash(F.col("lon"), F.col("lat"), GEOHASH_PRECISION).alias(
-                "gh"
-            )
+            tiles.geohash_val(
+                F.col("lon"), F.col("lat"), GEOHASH_PRECISION
+            ).alias("ghv")
         )
-        .groupBy("gh")
+        .groupBy("ghv")
         .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy(F.desc("n_points"), F.asc("gh"))
+        .orderBy(F.desc("n_points"), F.asc("ghv"))
         .limit(100)
+        .select(
+            tiles.geohash_from_val(F.col("ghv"), GEOHASH_PRECISION).alias(
+                "gh"
+            ),
+            "n_points",
+        )
     )
 
 
