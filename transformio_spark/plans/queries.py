@@ -1108,18 +1108,20 @@ def q_curation_funnel(spark, sf_dir) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
     ).localCheckpoint(eager=True)
     # AQE rightly coalesces the gate corpus's window shuffle to ONE
-    # partition, but the checkpoint freezes that layout — and the
+    # partition, and the checkpoint freezes that layout — the
     # downstream MinHash stage (the funnel's heaviest per-row math)
     # would then run single-task (measured 5.5s serial vs 0.6s spread
-    # at sf0.1).  Re-spread only when the materialized layout actually
-    # collapsed below the core count; at cluster scale the coalesced
-    # partitions are advisory-sized and this is a no-op.
+    # at sf0.1).  Round 6: instead of a SECOND checkpoint of the
+    # re-spread table, fold the re-spread into the MinHash stage's own
+    # materialization job — only the survivors feeding the per-row
+    # shingle/minhash math need the exchange; the funnel agg over
+    # `staged` itself is a trivial narrow pass at any layout.  At
+    # cluster scale the materialized layout keeps >= core-count
+    # partitions and this is a no-op.
     par = spark.sparkContext.defaultParallelism
-    if staged.rdd.getNumPartitions() < par:
-        staged = staged.repartition(2 * par, "doc_id").localCheckpoint(
-            eager=True
-        )
     survivors = staged.where(F.col("rn") == 1).select("doc_id", "text")
+    if staged.rdd.getNumPartitions() < par:
+        survivors = survivors.repartition(2 * par, "doc_id")
     pairs = dedup.minhash_lsh_pairs(survivors, threshold=0.5)
     nd = (
         dedup.connected_components(pairs)
