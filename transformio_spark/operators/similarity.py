@@ -256,17 +256,26 @@ def cosine_neardup_pairs(
         keys.append(
             (lsh_bucket(F.col("unit"), planes) * n_tables + t).alias(f"b{t}")
         )
-    b = emb.select(
+    # round 6 (§2.3/§8 shuffle keys, not payloads — the committed
+    # minhash_lsh_pairs pattern applied here): the bucket self-join
+    # used to carry BOTH 64-double unit vectors through the 16-way
+    # table explode and both exchange sides (~2 KB/row across a
+    # near-quadratic candidate set).  Now (id, bucket) alone flows
+    # through the candidate join + dedup, and the vectors re-attach to
+    # the deduped candidate PAIRS from the once-materialized sig
+    # table.  Candidate set and verify are unchanged (pinned by the
+    # driver oracle + recall tests).  Same cluster-mode checkpoint()
+    # caveat as minhash_lsh_pairs.  Measured 33.5 -> ~12 s at sf0.1
+    # (2 M candidates; the residual is the candidate dedup + the
+    # per-pair cosine itself).
+    sig = emb.select(
         F.col(id_col).alias("id"), "unit", *keys
-    ).withColumn(
+    ).localCheckpoint(eager=True)
+    b = sig.withColumn(
         "bucket", F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
-    ).select("id", "unit", "bucket")
-    left = b.select(
-        F.col("bucket"), F.col("id").alias("id_a"), F.col("unit").alias("u_a")
-    )
-    right = b.select(
-        F.col("bucket"), F.col("id").alias("id_b"), F.col("unit").alias("u_b")
-    )
+    ).select("id", "bucket")
+    left = b.select(F.col("bucket"), F.col("id").alias("id_a"))
+    right = b.select(F.col("bucket"), F.col("id").alias("id_b"))
     join_keys = ["bucket"]
     if n_salt and n_salt > 1:
         left = left.withColumn(
@@ -280,6 +289,13 @@ def cosine_neardup_pairs(
         left.join(right, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("unit").alias("u_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("unit").alias("u_b")),
+        "id_b",
     )
     cos = _dot(F.col("u_a"), F.col("u_b"))
     return (
