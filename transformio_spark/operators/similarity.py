@@ -343,16 +343,31 @@ def lsh_topk(
         qb_keys.append(
             (lsh_bucket(F.col("unit"), planes) * n_tables + t).alias(f"b{t}")
         )
-    cb = corpus.select(
-        F.col(id_col).alias("nb_id"), F.col("unit").alias("c_unit"), *cb_keys
-    ).withColumn("bucket", F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])))
-    qb = queries.select("query_id", "unit", *qb_keys).withColumn(
+    # round 6 (§2.3 shuffle keys, not payloads): the bucket join and
+    # the candidate dedup carry (query_id, nb_id, bucket) only; both
+    # unit vectors re-attach to the deduped candidates afterwards —
+    # the corpus side's ×n_tables explode no longer ships the vector
+    # payload through the exchanges.  Candidates and cos unchanged.
+    cb = corpus.select(F.col(id_col).alias("nb_id"), *cb_keys).withColumn(
+        "bucket", F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
+    )
+    qb = queries.select("query_id", *qb_keys).withColumn(
         "bucket", F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
     )
     joined = (
-        qb.select("query_id", "unit", "bucket")
-        .join(cb.select("nb_id", "c_unit", "bucket"), "bucket")
+        qb.select("query_id", "bucket")
+        .join(cb.select("nb_id", "bucket"), "bucket")
         .dropDuplicates(["query_id", "nb_id"])
+        .join(
+            queries.select("query_id", "unit"),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("nb_id"), F.col("unit").alias("c_unit")
+            ),
+            "nb_id",
+        )
     )
     cos = _dot(F.col("unit"), F.col("c_unit"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
