@@ -2414,12 +2414,17 @@ def q_model_accuracy(spark, sf_dir) -> DataFrame:
     """SURVEY ops 18/20/21 relationally: residuals of the observable
     re-fit (predict via the order-2 Column twin, geodesic R=6367
     haversine against the observed GCP targets), then RMSE / MAE / MAX
-    as one aggregate row.  coalesce(1) pins double-summation order to
-    the GCP row order, matching the oracle's sequential VALUES scan."""
+    as one aggregate row.  A SINGLE-slice parallelize pins the
+    double-summation order to the GCP row order, matching the
+    oracle's sequential VALUES scan — same rows, same order, same
+    fold as the previous coalesce(1), WITHOUT coalescing 64
+    pickled slices through one task (round 6: that cost a flat
+    ~3.2 s per execution; numSlices=1 measures ~0.26 s)."""
     A, gcps = model_accuracy_gate()
     df = spark.createDataFrame(
-        gcps, "sx double, sy double, dx double, dy double"
-    ).coalesce(1)
+        spark.sparkContext.parallelize(gcps, 1),
+        "sx double, sy double, dx double, dy double",
+    )
     px, py = geo.polynomial_predict(A, 2, F.col("sx"), F.col("sy"))
     # distance arg order (pred, obs) — reference accuracy.py:37
     resid = geo.haversine_km(px, py, F.col("dx"), F.col("dy"))
